@@ -1,0 +1,147 @@
+"""Top-level driver: build the constraint preconditioner, shift the RHS,
+dispatch to a kernel, un-shift — the reg_cpkrylov equivalent.
+
+Mirrors /root/reference/reg_cpkrylov.m:
+  * build + time the preconditioner (l.128-132),
+  * forward precond options (l.135-148),
+  * shift the system so the RHS becomes [b1'; 0] when b2 != 0 (l.152-160),
+  * run the kernel (l.163), un-shift (l.166-173), attach ptime/stime
+    (l.175-178).
+
+The shift/solve/un-shift pipeline is one jitted function per (method, opts,
+shift) combination; the host only decides `shift` (a concrete check on b2)
+and performs the one-time factorization.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import PrecondOptions, SolverOptions
+from .operators.linop import aslinearoperator
+from .precond.cp import CPPrecond, make_preconditioner
+from .solvers.common import KrylovResult
+
+
+def _solver_registry():
+    from .solvers.cpminres import cpminres
+    registry = {"cpminres": cpminres}
+    for name in ("cpcg", "cpcglanczos", "cpsymmlq", "cpgmres", "cpdqgmres"):
+        try:
+            mod = __import__(f"cpkrylov_tpu.solvers.{name}", fromlist=[name])
+            registry[name] = getattr(mod, name)
+        except (ImportError, AttributeError):
+            pass
+    return registry
+
+
+@dataclasses.dataclass(frozen=True)
+class SolveOutput:
+    """Driver output: combined solution + stats (reg_cpkrylov.m:107-117)."""
+
+    x: jax.Array               # (n+m,) combined solution
+    x1: jax.Array              # (n,)
+    x2: jax.Array              # (m,)
+    niters: int
+    resid_history: np.ndarray  # NaN-trimmed
+    solved: bool
+    istatus: int
+    ptime: float               # preconditioner build seconds
+    stime: float               # solve seconds
+    result: KrylovResult       # full kernel result (extra histories etc.)
+
+
+@partial(jax.jit, static_argnames=("method", "opts", "shift"))
+def _solve_core(method: str, b, A_op, C_op, B_op, M: CPPrecond,
+                opts: SolverOptions, shift: bool):
+    n, m = M.n, M.m
+    mstate = M.init_state(b.dtype)
+    if shift:
+        # xy0 = M * [0; b2]; b1' = b1 - A*xy0_1 - B'*xy0_2
+        # (reg_cpkrylov.m:154-158)
+        mstate, xy0, _ = M.apply(
+            mstate, jnp.concatenate([jnp.zeros(n, b.dtype), b[n:]])
+        )
+        b1 = b[:n] - A_op.matvec(xy0[:n]) - B_op.rmatvec(xy0[n:])
+    else:
+        xy0 = jnp.zeros(n + m, b.dtype)
+        b1 = b[:n]
+
+    kernel = _solver_registry()[method]
+    res = kernel(b1, A_op, C_op, M, opts, mstate)
+
+    x1 = xy0[:n] + res.x if shift else res.x     # reg_cpkrylov.m:166-172
+    x2 = xy0[n:] + res.y if shift else res.y
+    return res, x1, x2
+
+
+def solve(method, b, A, B, C, G, *,
+          opts: SolverOptions | None = None,
+          precond_opts: PrecondOptions | None = None,
+          backend: str = "auto", ordering: str = "rcm", panel: int = 256,
+          dtype=None, M: CPPrecond | None = None) -> SolveOutput:
+    """Solve the regularized saddle-point system [A B'; B -C] [x1;x2] = b.
+
+    ``method`` is a kernel name ("cpminres", "cpcg", "cpcglanczos",
+    "cpsymmlq", "cpgmres", "cpdqgmres") or the kernel function itself.
+    ``A`` may be any matrix-like or a LinearOperator; B, C, G must be
+    explicit (host) matrices since they form the preconditioner
+    (reg_cpkrylov.m:40-41).  Pass ``M`` to reuse a built preconditioner.
+    """
+    opts = opts or SolverOptions()
+    if callable(method):
+        method = method.__name__
+    if method not in _solver_registry():
+        raise ValueError(f"unknown solver {method!r}")
+
+    b = np.asarray(b).reshape(-1)
+    explicit_dtype = dtype is not None
+    dtype = np.dtype(dtype or b.dtype)
+    canonical = jax.dtypes.canonicalize_dtype(dtype)
+    if canonical != dtype and not explicit_dtype:
+        # f64 inputs with jax_enable_x64 off would silently run in f32 and
+        # break the Krylov recurrences' 100*eps indefiniteness guards.
+        raise RuntimeError(
+            f"rhs dtype {dtype} would be silently truncated to {canonical} "
+            "(jax_enable_x64 is disabled). Enable x64 "
+            "(jax.config.update('jax_enable_x64', True)) for reference-"
+            "matching f64 solves, or pass dtype=np.float32 explicitly to "
+            "opt into single precision."
+        )
+    dtype = canonical
+    n = A.shape[0]
+    m = C.shape[0]
+    if b.shape[0] != n + m:
+        raise ValueError(f"rhs has length {b.shape[0]}, expected {n + m}")
+
+    t0 = time.perf_counter()
+    if M is None:
+        M = make_preconditioner(G, B, C, options=precond_opts,
+                                backend=backend, ordering=ordering,
+                                panel=panel, dtype=dtype)
+    ptime = time.perf_counter() - t0
+
+    A_op = aslinearoperator(A, dtype=dtype)
+    C_op = aslinearoperator(C, dtype=dtype)
+    B_op = aslinearoperator(B, dtype=dtype)
+    shift = bool(np.any(b[n:]))                     # reg_cpkrylov.m:154
+    b_dev = jnp.asarray(b, dtype=dtype)
+
+    t1 = time.perf_counter()
+    res, x1, x2 = _solve_core(method, b_dev, A_op, C_op, B_op, M, opts, shift)
+    x1.block_until_ready()
+    stime = time.perf_counter() - t1
+
+    hist = np.asarray(res.resid_history)
+    return SolveOutput(
+        x=jnp.concatenate([x1, x2]), x1=x1, x2=x2,
+        niters=int(res.niters),
+        resid_history=hist[~np.isnan(hist)],
+        solved=bool(res.solved), istatus=int(res.istatus),
+        ptime=ptime, stime=stime, result=res,
+    )

@@ -1,0 +1,109 @@
+"""Linear-operator protocol — the Spot-toolbox replacement.
+
+The MATLAB reference represents ``A`` as either an explicit matrix or a Spot
+linear operator (``opSpot``; see /root/reference/reg_cpkrylov.m:40-41 and
+/root/reference/ops/opLDL2.m:1).  Solver kernels only ever evaluate ``A*v``.
+Here the equivalent is a pytree-of-arrays plus a traceable ``matvec``; any of
+the containers in ``ops/formats.py``, a dense ``jax.Array``, or a user
+callable can serve as the operand.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.formats import CSR, ELL, Diagonal, csr_from_scipy
+from ..ops import spmv
+
+
+def _register(cls, data_fields, meta_fields):
+    return jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
+    )
+
+
+@partial(_register, data_fields=("mat",), meta_fields=())
+@dataclasses.dataclass(frozen=True)
+class MatrixOperator:
+    """Wraps an explicit (sparse or dense) matrix as an operator."""
+
+    mat: object  # CSR | ELL | Diagonal | jax.Array
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return tuple(self.mat.shape)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return spmv.matvec(self.mat, x)
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        if isinstance(self.mat, CSR):
+            return spmv.csr_rmatvec(self.mat, y)
+        if isinstance(self.mat, Diagonal):
+            return spmv.diag_matvec(self.mat, y)
+        if isinstance(self.mat, jax.Array) or hasattr(self.mat, "ndim"):
+            return jnp.asarray(self.mat).T @ y
+        raise TypeError(f"rmatvec unsupported for {type(self.mat)}")
+
+    def __call__(self, x):
+        return self.matvec(x)
+
+
+@partial(_register, data_fields=("params",), meta_fields=("fn", "rfn", "shape"))
+@dataclasses.dataclass(frozen=True)
+class FunctionOperator:
+    """Operator defined by a traceable callable ``fn(params, x) -> y``.
+
+    Covers the reference's "A may be a linear operator" contract
+    (/root/reference/reg_cpkrylov.m:40-41) — e.g. an operator-only leading
+    block with no explicit matrix.
+    """
+
+    params: object
+    fn: Callable
+    rfn: Callable | None
+    shape: Tuple[int, int]
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return self.fn(self.params, x)
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        if self.rfn is None:
+            raise NotImplementedError("operator has no rmatvec")
+        return self.rfn(self.params, y)
+
+    def __call__(self, x):
+        return self.matvec(x)
+
+
+LinearOperator = (MatrixOperator, FunctionOperator)
+
+
+def aslinearoperator(obj, shape=None, dtype=None) -> object:
+    """Coerce matrices / callables / operators to an operator."""
+    if isinstance(obj, LinearOperator):
+        return obj
+    if isinstance(obj, (CSR, ELL, Diagonal)):
+        return MatrixOperator(obj)
+    if callable(obj) and not hasattr(obj, "shape"):
+        if shape is None:
+            raise ValueError("shape required when wrapping a callable")
+        return FunctionOperator(params=None, fn=lambda _, x: obj(x), rfn=None,
+                                shape=tuple(shape))
+    # scipy sparse
+    try:
+        import scipy.sparse as sp
+
+        if sp.issparse(obj):
+            return MatrixOperator(csr_from_scipy(obj, dtype=dtype))
+    except ImportError:  # pragma: no cover
+        pass
+    arr = jnp.asarray(obj, dtype=dtype)
+    if arr.ndim != 2:
+        raise ValueError(f"expected 2-D operand, got shape {arr.shape}")
+    return MatrixOperator(arr)

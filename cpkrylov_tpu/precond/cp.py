@@ -1,0 +1,206 @@
+"""The constraint preconditioner P = [G B'; B -C] as a pure device operator.
+
+Functional re-design of the reference's ``opLDL2`` Spot operator
+(/root/reference/ops/opLDL2.m).  Differences forced by JAX/XLA semantics:
+
+* The factorization runs once on the host (native C++ LDL^T or scipy LU,
+  see ``ldl_host.py``); the factors live on device as blocked triangular
+  solve operands (``trisolve.py``).
+* The Gould-Hribar-Nocedal residual-update caches (``op.Aty``/``op.Cy``,
+  opLDL2.m:41-42, 90-91, 164-171) become an *explicit* ``CPState`` threaded
+  through every application, so the operator is a pure function and can live
+  inside ``lax.while_loop`` carries.
+* Iterative refinement (opLDL2.m:173-187) is a ``lax.while_loop`` with the
+  same trigger ``rNorm >= itref_tol * xNorm  or  force_itref``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PrecondOptions
+from ..ops.formats import CSR, csr_from_scipy
+from ..ops.spmv import csr_matvec
+from .trisolve import BlockTriFactor, block_tri_solve, build_block_tri, \
+    build_block_tri_upper
+from . import ldl_host
+
+
+def _register(cls, data_fields, meta_fields):
+    return jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
+    )
+
+
+@partial(_register,
+         data_fields=("perm_in", "tf1", "dinv", "tf2", "perm_out"),
+         meta_fields=())
+@dataclasses.dataclass(frozen=True)
+class FactorApply:
+    """Device-side direct solve  y = K_P^{-1} z  from host factors.
+
+    Pipeline: gather by ``perm_in`` -> blocked lower solve -> diagonal scale
+    -> flip -> blocked lower solve of the reversed upper factor -> flip ->
+    scatter by ``perm_out``.  (The flips implement the upper-triangular solve
+    with the single lower-solve kernel; see trisolve.py.)
+    """
+
+    perm_in: jax.Array    # (N,) int32
+    tf1: BlockTriFactor
+    dinv: jax.Array       # (N,) inverse pivots (ones for the LU backend)
+    tf2: BlockTriFactor
+    perm_out: jax.Array   # (N,) int32
+
+    def solve(self, z: jax.Array) -> jax.Array:
+        w = jnp.take(z, self.perm_in)
+        w = block_tri_solve(self.tf1, w)
+        w = w * self.dinv.astype(w.dtype)
+        w = jnp.flip(w)
+        w = block_tri_solve(self.tf2, w)
+        w = jnp.flip(w)
+        return jnp.zeros_like(w).at[self.perm_out].set(w)
+
+
+class CPState(NamedTuple):
+    """GHN residual-update caches (aty = B'y2, cy = (-C)y2)."""
+
+    aty: jax.Array  # (n,)
+    cy: jax.Array   # (m,)
+
+
+@partial(_register, data_fields=("factor", "kp"),
+         meta_fields=("n", "m", "options"))
+@dataclasses.dataclass(frozen=True)
+class CPPrecond:
+    """Constraint preconditioner: factors + K_P + behavioural options."""
+
+    factor: FactorApply
+    kp: CSR               # exact K_P (for GHN caches and refinement residuals)
+    n: int
+    m: int
+    options: PrecondOptions
+
+    # -- state -------------------------------------------------------------
+    def init_state(self, dtype=None) -> CPState:
+        dtype = dtype or self.kp.dtype
+        return CPState(
+            aty=jnp.zeros(self.n, dtype=dtype),
+            cy=jnp.zeros(self.m, dtype=dtype),
+        )
+
+    # -- application -------------------------------------------------------
+    def apply(self, state: CPState, z: jax.Array):
+        """y = M * z with the reference's exact side-effect ordering.
+
+        Mirrors opLDL2.multiply (opLDL2.m:161-188): (1) optional GHN input
+        correction, (2) direct solve, (3) GHN cache refresh from the
+        *unrefined* solution, (4) optional iterative refinement.
+        Returns ``(new_state, y, rnorm)``.
+        """
+        opts = self.options
+        n = self.n
+
+        if opts.residual_update:
+            zz = z - jnp.concatenate([state.aty, state.cy])
+        else:
+            zz = z
+        y = self.factor.solve(zz)
+
+        if opts.residual_update:
+            y2 = y[n:]
+            gv = csr_matvec(self.kp, jnp.concatenate([jnp.zeros_like(y[:n]), y2]))
+            state = CPState(aty=gv[:n], cy=gv[n:])
+
+        rnorm = jnp.zeros((), dtype=z.dtype)
+        if opts.nitref > 0:
+            r = z - csr_matvec(self.kp, y)
+            rnorm = jnp.linalg.norm(r)
+            xnorm = jnp.linalg.norm(z)
+
+            def cond(carry):
+                nit, _, _, rn = carry
+                trigger = (rn >= opts.itref_tol * xnorm) | opts.force_itref
+                return (nit < opts.nitref) & trigger
+
+            def body(carry):
+                nit, yk, _, _ = carry
+                yk = yk + self.factor.solve(carry[2])
+                rk = z - csr_matvec(self.kp, yk)
+                return nit + 1, yk, rk, jnp.linalg.norm(rk)
+
+            _, y, _, rnorm = jax.lax.while_loop(cond, body, (0, y, r, rnorm))
+        return state, y, rnorm
+
+    def apply_nm(self, state: CPState, zn: jax.Array, zm: jax.Array):
+        """Apply on an (n, m) pair; returns (state, yn, ym, rnorm)."""
+        state, y, rnorm = self.apply(state, jnp.concatenate([zn, zm]))
+        return state, y[: self.n], y[self.n:], rnorm
+
+
+# ---------------------------------------------------------------------------
+# Host-side construction
+# ---------------------------------------------------------------------------
+
+def assemble_kp(G, B, C):
+    """K_P = [G B'; B -C] as a scipy CSC matrix."""
+    import scipy.sparse as sp
+
+    G = sp.csr_matrix(G) if not sp.issparse(G) else G.tocsr()
+    B = sp.csr_matrix(B) if not sp.issparse(B) else B.tocsr()
+    C = sp.csr_matrix(C) if not sp.issparse(C) else C.tocsr()
+    return sp.bmat([[G, B.T], [B, -C]], format="csc")
+
+
+def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
+                        backend: str = "auto", ordering: str = "rcm",
+                        panel: int = 256, reg_value: float = 1e-10,
+                        dtype=np.float64) -> CPPrecond:
+    """Build the constraint preconditioner (host factorization + device pack).
+
+    Equivalent of the driver's ``M = opLDL2(G, B, -C)``
+    (/root/reference/reg_cpkrylov.m:131): assemble K_P once, factorize once,
+    reuse for every application.
+    """
+    import scipy.sparse as sp
+
+    options = options or PrecondOptions()
+    n = G.shape[0]
+    m = C.shape[0]
+    ksp = assemble_kp(G, B, C)
+
+    signs = np.concatenate([np.ones(n), -np.ones(m)])
+    fac = ldl_host.factorize(ksp, method=backend, ordering=ordering,
+                             pivot_signs=signs, reg_value=reg_value)
+
+    if isinstance(fac, ldl_host.HostLDL):
+        L1 = (fac.L + sp.identity(n + m, format="csc")).tocsr()
+        tf1 = build_block_tri(L1, panel=panel, dtype=dtype)
+        tf2 = build_block_tri_upper((fac.L + sp.identity(n + m)).T.tocsr(),
+                                    panel=panel, dtype=dtype)
+        rev = np.arange(n + m - 1, -1, -1)
+        factor = FactorApply(
+            perm_in=jnp.asarray(fac.perm, dtype=jnp.int32),
+            tf1=tf1,
+            dinv=jnp.asarray((1.0 / fac.d).astype(dtype)),
+            tf2=tf2,
+            perm_out=jnp.asarray(fac.perm, dtype=jnp.int32),
+        )
+    else:  # HostLU from splu
+        tf1 = build_block_tri(fac.L.tocsr(), panel=panel, dtype=dtype)
+        tf2 = build_block_tri_upper(fac.U.tocsr(), panel=panel, dtype=dtype)
+        factor = FactorApply(
+            perm_in=jnp.asarray(fac.row_perm, dtype=jnp.int32),
+            tf1=tf1,
+            dinv=jnp.ones(n + m, dtype=dtype),
+            tf2=tf2,
+            perm_out=jnp.asarray(fac.col_scatter, dtype=jnp.int32),
+        )
+
+    kp_dev = csr_from_scipy(ksp.tocsr(), dtype=dtype)
+    return CPPrecond(factor=factor, kp=kp_dev, n=int(n), m=int(m),
+                     options=options)

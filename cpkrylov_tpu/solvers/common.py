@@ -1,0 +1,149 @@
+"""Shared machinery for the constraint-preconditioned Krylov kernels.
+
+All six kernels are pure functions structured as ``lax.while_loop`` over an
+explicit carry, so they jit/pjit cleanly and their state can be checkpointed
+as a pytree.  Numerical semantics (tolerances, guards, recurrences) follow
+the MATLAB reference kernel-by-kernel; citations sit next to each use.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SolverOptions
+from ..operators.linop import aslinearoperator
+
+# Status codes (JAX-traceable replacement for the reference's thrown
+# MExceptions / status strings, cpcglanczos.m:312-325; SURVEY.md §5).
+STATUS_SOLVED = 0          # residual small compared to initial residual
+STATUS_ITMAX = 1           # maximum number of iterations attained
+STATUS_INDEFINITE = 2      # beta^2 < -100*eps: preconditioner not SPD-like
+STATUS_BACKWARD = 3        # backward error small (cpcglanczos btol)
+
+STATUS_STRINGS = {
+    STATUS_SOLVED: "residual small compared to initial residual",
+    STATUS_ITMAX: "maximum number of iterations attained",
+    STATUS_INDEFINITE: "preconditioner not second-order sufficient",
+    STATUS_BACKWARD: "backward error small",
+}
+
+
+def _register(cls, data_fields, meta_fields):
+    return jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
+    )
+
+
+@partial(_register,
+         data_fields=("x", "y", "niters", "resid_history", "solved",
+                      "istatus", "cg_resid_history", "lq_resid_history",
+                      "qr_resid_history"),
+         meta_fields=())
+@dataclasses.dataclass(frozen=True)
+class KrylovResult:
+    """Solver output: solution pair + stats (the reference's x/y/stats/flag).
+
+    ``resid_history`` is a fixed-length device buffer (itmax+1 slots) padded
+    with NaN past ``niters`` — the functional version of the reference's
+    growing ``residHistory`` arrays (e.g. cpminres.m:236).
+    """
+
+    x: jax.Array
+    y: jax.Array
+    niters: jax.Array          # int32 scalar
+    resid_history: jax.Array   # (itmax + 1,), NaN-padded
+    solved: jax.Array          # bool scalar
+    istatus: jax.Array         # int32 scalar, see STATUS_* codes
+    # CPSYMMLQ extras (cpsymmlq.m:363-366); None elsewhere.
+    cg_resid_history: jax.Array | None = None
+    lq_resid_history: jax.Array | None = None
+    qr_resid_history: jax.Array | None = None
+
+    @property
+    def status(self) -> str:
+        return STATUS_STRINGS.get(int(self.istatus), "unknown")
+
+    def trimmed_history(self) -> np.ndarray:
+        """Residual history with NaN padding stripped (host-side)."""
+        h = np.asarray(self.resid_history)
+        return h[~np.isnan(h)]
+
+
+def sym_givens(a, b):
+    """Symmetric (reflector-form) Givens rotation, branch-for-branch port of
+    /root/reference/util/SymGivens.m (Saunders & Choi), as jnp.where lattices.
+
+    Returns (c, s, d) with [c s; s -c] [a; b] = [d; 0].
+    Note MATLAB's sign(0) = 0 convention — jnp.sign matches it.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    abs_a, abs_b = jnp.abs(a), jnp.abs(b)
+    b_zero = b == 0
+    a_zero = a == 0
+    b_dominant = abs_b > abs_a
+
+    one = jnp.ones((), dtype=a.dtype)
+    a_safe = jnp.where(a_zero, one, a)
+    b_safe = jnp.where(b_zero, one, b)
+
+    # branch: |b| > |a|
+    t3 = a / b_safe
+    s3 = jnp.sign(b) / jnp.sqrt(1 + t3 * t3)
+    c3 = s3 * t3
+    d3 = b / jnp.where(s3 == 0, one, s3)
+    # branch: |a| >= |b| (both nonzero)
+    t4 = b / a_safe
+    c4 = jnp.sign(a) / jnp.sqrt(1 + t4 * t4)
+    s4 = c4 * t4
+    d4 = a / jnp.where(c4 == 0, one, c4)
+
+    c = jnp.where(b_zero, jnp.where(a_zero, one, jnp.sign(a)),
+                  jnp.where(a_zero, 0.0, jnp.where(b_dominant, c3, c4)))
+    s = jnp.where(b_zero, 0.0,
+                  jnp.where(a_zero, jnp.sign(b), jnp.where(b_dominant, s3, s4)))
+    d = jnp.where(b_zero, abs_a,
+                  jnp.where(a_zero, abs_b, jnp.where(b_dominant, d3, d4)))
+    return c, s, d
+
+
+def coupled_dot(u, v, t, q):
+    """The coupled inner product dot(u,v) + dot(t,q) used by every kernel
+    (e.g. cpminres.m:189, cpgmres.m:215)."""
+    return jnp.dot(u, v) + jnp.dot(t, q)
+
+
+def eps100(dtype) -> float:
+    """The reference's ``100*eps`` indefiniteness threshold
+    (cpminres.m:135)."""
+    return 100.0 * float(np.finfo(np.dtype(dtype)).eps)
+
+
+def safe_normalize_pair(v, q, beta):
+    """Divide (v, q) by beta when beta > 0, as cpminres.m:202-205."""
+    pos = beta > 0
+    denom = jnp.where(pos, beta, 1.0)
+    return jnp.where(pos, v / denom, v), jnp.where(pos, q / denom, q)
+
+
+def resolve_operators(A, C):
+    return aslinearoperator(A), aslinearoperator(C)
+
+
+def resolve_itmax(opts: SolverOptions, default: int) -> int:
+    return int(opts.itmax) if opts.itmax is not None else int(default)
+
+
+def history_init(itmax: int, first, dtype) -> jax.Array:
+    h = jnp.full(itmax + 1, jnp.nan, dtype=dtype)
+    return h.at[0].set(first)
+
+
+def debug_iter_print(enabled: bool, k, resid):
+    """Per-iteration printing (the reference's ``opts.print`` tables)."""
+    if enabled:
+        jax.debug.print("{k:5d}  {r:9.2e}", k=k, r=resid)

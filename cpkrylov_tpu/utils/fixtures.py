@@ -1,0 +1,129 @@
+"""Test-system fixtures: the reference's shipped CVXQP saddle-point systems
+plus synthetic generators for unit / scaling tests.
+
+The two shipped systems (examples/cvxqp1_m_2x2_symm_iter10.mat and
+examples/cvxqp2_s_3x3_nonsymm_perm_iter10.mat of the reference) are
+interior-point KKT matrices from the CUTEst/G-2015-117 collection; the block
+slicing below follows examples/cpk_exprog1.m:45-64 and cpk_exprog2.m:47-66.
+Data is loaded from the repo's ``data/*.npz`` copies when present, falling
+back to the original ``.mat`` files.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+import scipy.sparse as sp
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "data")
+_REF_EXAMPLES = "/root/reference/examples"
+
+FIXTURES = {
+    "cvxqp1_m": ("cvxqp1_m_2x2_symm_iter10", "2x2"),
+    "cvxqp2_s": ("cvxqp2_s_3x3_nonsymm_perm_iter10", "3x3"),
+}
+
+
+@dataclasses.dataclass
+class SaddleSystem:
+    """One regularized saddle-point system split into blocks."""
+
+    name: str
+    A: sp.csr_matrix        # (n, n) leading block (Q in the examples)
+    B: sp.csr_matrix        # (m, n) constraint block
+    C: sp.csr_matrix        # (m, m), -C is the (2,2) block of K
+    G: sp.csr_matrix        # preconditioner leading block
+    b: np.ndarray           # (n+m,) right-hand side
+    K: sp.csr_matrix        # full (n+m, n+m) matrix (oracle direct solves)
+
+    @property
+    def n(self) -> int:
+        return self.A.shape[0]
+
+    @property
+    def m(self) -> int:
+        return self.C.shape[0]
+
+
+def _load_raw(stem: str):
+    npz = os.path.join(_DATA_DIR, stem + ".npz")
+    if os.path.exists(npz):
+        z = np.load(npz, allow_pickle=False)
+        K = sp.csr_matrix((z["K_data"], z["K_indices"], z["K_indptr"]),
+                          shape=tuple(z["K_shape"]))
+        return K, z["rhs"].reshape(-1), int(z["nH"]), int(z["nJ"]), int(z["nZ"])
+    mat = os.path.join(_REF_EXAMPLES, stem + ".mat")
+    import scipy.io as sio
+
+    d = sio.loadmat(mat)
+    K = sp.csr_matrix(d["K"])
+    return (K, np.asarray(d["rhs"]).reshape(-1),
+            int(d["nH"]), int(d["nJ"]), int(d["nZ"]))
+
+
+def export_npz(stem: str) -> str:
+    """Copy a reference .mat fixture into the repo as npz (data only)."""
+    K, rhs, nH, nJ, nZ = _load_raw(stem)
+    os.makedirs(_DATA_DIR, exist_ok=True)
+    out = os.path.join(_DATA_DIR, stem + ".npz")
+    Kc = K.tocsr()
+    np.savez_compressed(out, K_data=Kc.data, K_indices=Kc.indices,
+                        K_indptr=Kc.indptr, K_shape=np.array(Kc.shape),
+                        rhs=rhs, nH=nH, nJ=nJ, nZ=nZ)
+    return out
+
+
+def load_fixture(name: str) -> SaddleSystem:
+    """Load and block-slice one of the shipped CVXQP systems."""
+    stem, kind = FIXTURES[name]
+    K, rhs, nH, nJ, nZ = _load_raw(stem)
+    n = nH if kind == "2x2" else nH + nZ     # cpk_exprog1.m:47 / exprog2.m:49
+    m = nJ
+    Q = K[:n, :n].tocsr()
+    B = K[n:, :n].tocsr()
+    C = (-K[n:, n:]).tocsr()
+    G = sp.diags(Q.diagonal()).tocsr()       # cpk_exprog1.m:59-64
+    return SaddleSystem(name=name, A=Q, B=B, C=C, G=G, b=rhs, K=K)
+
+
+def fixture_available(name: str) -> bool:
+    stem, _ = FIXTURES[name]
+    return (os.path.exists(os.path.join(_DATA_DIR, stem + ".npz"))
+            or os.path.exists(os.path.join(_REF_EXAMPLES, stem + ".mat")))
+
+
+# ---------------------------------------------------------------------------
+# Synthetic systems
+# ---------------------------------------------------------------------------
+
+def random_sqd_system(n: int, m: int, *, density: float = 0.05,
+                      delta: float = 1e-4, seed: int = 0,
+                      nonsymmetric: bool = False,
+                      g_exact: bool = False) -> SaddleSystem:
+    """Random regularized saddle-point system with SPD A and C = delta*I.
+
+    Second-order sufficient by construction (A SPD), so every kernel in the
+    family applies.  ``g_exact=True`` sets G = A (one-iteration convergence
+    sanity check); otherwise G = diag(A) as in the reference examples.
+    """
+    rng = np.random.default_rng(seed)
+    Araw = sp.random(n, n, density=density, random_state=rng, format="csr")
+    A = Araw + Araw.T + sp.diags(np.full(n, 4.0 + density * n * 0.5))
+    if nonsymmetric:
+        S = sp.random(n, n, density=density / 2, random_state=rng,
+                      format="csr")
+        A = A + 0.3 * (S - S.T)
+    B = sp.random(m, n, density=min(1.0, density * 2), random_state=rng,
+                  format="csr")
+    B = B + sp.csr_matrix(
+        (np.ones(m), (np.arange(m), np.arange(m))), shape=(m, n)
+    )  # ensure full row rank
+    C = sp.diags(np.full(m, delta)).tocsr()
+    Asym = 0.5 * (A + A.T)
+    G = Asym.tocsr() if g_exact else sp.diags(Asym.diagonal()).tocsr()
+    K = sp.bmat([[A, B.T], [B, -C]], format="csr")
+    b = rng.standard_normal(n + m)
+    return SaddleSystem(name=f"random_sqd_{n}x{m}", A=A.tocsr(), B=B, C=C,
+                        G=G, b=b, K=K)

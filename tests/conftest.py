@@ -1,0 +1,47 @@
+"""Test configuration.
+
+The outer environment boots the experimental axon TPU plugin from
+``sitecustomize`` (PYTHONPATH=/root/.axon_site), which imports jax at
+interpreter start — before any conftest code.  Tests therefore reconfigure
+jax via ``jax.config.update`` rather than env vars: CPU backend with 8
+virtual devices (for sharding tests) and 64-bit mode (required to match the
+reference's f64 residual histories; SURVEY.md §7 "Hard parts").
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_ENABLE_X64"] = "true"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cvxqp1():
+    from cpkrylov_tpu.utils import fixtures
+
+    if not fixtures.fixture_available("cvxqp1_m"):
+        pytest.skip("cvxqp1_m fixture unavailable")
+    return fixtures.load_fixture("cvxqp1_m")
+
+
+@pytest.fixture(scope="session")
+def cvxqp2():
+    from cpkrylov_tpu.utils import fixtures
+
+    if not fixtures.fixture_available("cvxqp2_s"):
+        pytest.skip("cvxqp2_s fixture unavailable")
+    return fixtures.load_fixture("cvxqp2_s")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

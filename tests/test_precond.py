@@ -1,0 +1,154 @@
+"""Preconditioner tests: native LDL, blocked trisolve, and opLDL2 semantics
+(GHN residual update + iterative refinement) against scipy oracles."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from cpkrylov_tpu.config import PrecondOptions
+from cpkrylov_tpu.precond import (build_block_tri, build_block_tri_upper,
+                                  block_tri_solve, make_preconditioner,
+                                  assemble_kp)
+from cpkrylov_tpu.precond import ldl_host
+from cpkrylov_tpu.utils.fixtures import random_sqd_system
+
+
+def _sqd_matrix(n, m, rng, delta=1e-2):
+    sys_ = random_sqd_system(n, m, seed=int(rng.integers(1 << 30)),
+                             delta=delta)
+    return assemble_kp(sys_.G, sys_.B, sys_.C)
+
+
+# ---------------------------------------------------------------------------
+# Native LDL^T
+# ---------------------------------------------------------------------------
+
+def test_native_ldl_reconstructs(rng):
+    K = _sqd_matrix(40, 15, rng)
+    f = ldl_host.ldl_factor(K, ordering="rcm")
+    n = K.shape[0]
+    L = (f.L + sp.identity(n)).toarray()
+    rec = L @ np.diag(f.d) @ L.T
+    Kp = K[f.perm][:, f.perm].toarray()
+    np.testing.assert_allclose(rec, Kp, rtol=1e-10, atol=1e-10)
+    assert f.nperturbed == 0
+
+
+def test_native_ldl_natural_ordering(rng):
+    K = _sqd_matrix(25, 10, rng)
+    f = ldl_host.ldl_factor(K, ordering="natural")
+    n = K.shape[0]
+    L = (f.L + sp.identity(n)).toarray()
+    np.testing.assert_allclose(L @ np.diag(f.d) @ L.T, K.toarray(),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_native_ldl_pivot_signs(rng):
+    # SQD: first n pivots positive, last m negative under natural order.
+    K = _sqd_matrix(30, 12, rng)
+    f = ldl_host.ldl_factor(K, ordering="natural",
+                            pivot_signs=np.r_[np.ones(30), -np.ones(12)])
+    assert f.nperturbed == 0
+    assert (f.d[:30] > 0).all() and (f.d[30:] < 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Blocked triangular solve
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("panel", [4, 16, 64])
+def test_block_tri_solve_lower(rng, panel):
+    n = 50
+    L = sp.tril(sp.random(n, n, density=0.2, random_state=rng), k=-1) \
+        + sp.identity(n) * 3.0
+    b = rng.standard_normal(n)
+    tf = build_block_tri(L.tocsr(), panel=panel)
+    x = np.asarray(block_tri_solve(tf, b))
+    np.testing.assert_allclose(x, spla.spsolve_triangular(L.tocsr(), b,
+                                                          lower=True),
+                               rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("panel", [8, 32])
+def test_block_tri_solve_upper(rng, panel):
+    n = 45
+    U = sp.triu(sp.random(n, n, density=0.2, random_state=rng), k=1) \
+        + sp.identity(n) * 2.0
+    b = rng.standard_normal(n)
+    tf = build_block_tri_upper(U.tocsr(), panel=panel)
+    # upper solve = rev . lower-solve(rev U rev) . rev  (see trisolve.py)
+    x = np.asarray(block_tri_solve(tf, b[::-1].copy()))[::-1]
+    np.testing.assert_allclose(
+        x, spla.spsolve_triangular(U.tocsr(), b, lower=False),
+        rtol=1e-10, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Full preconditioner: direct solve path
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("backend", ["ldl", "lu"])
+def test_factor_solve_matches_spsolve(rng, backend):
+    import jax.numpy as jnp
+
+    sys_ = random_sqd_system(60, 25, seed=7)
+    M = make_preconditioner(sys_.G, sys_.B, sys_.C, backend=backend,
+                            panel=32,
+                            options=PrecondOptions(nitref=0))
+    K = assemble_kp(sys_.G, sys_.B, sys_.C)
+    z = rng.standard_normal(85)
+    y = np.asarray(M.factor.solve(jnp.asarray(z)))
+    y_ref = spla.spsolve(K.tocsc(), z)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-8, atol=1e-8)
+
+
+def _oracle_apply(K_lu, Ksp, n, m, opts: PrecondOptions, state, z):
+    """Numpy transcription of opLDL2.multiply (opLDL2.m:161-188)."""
+    aty, cy = state
+    if opts.residual_update:
+        zz = np.concatenate([z[:n] - aty, z[n:] - cy])
+    else:
+        zz = z
+    y = K_lu(zz)
+    if opts.residual_update:
+        gv = Ksp @ np.concatenate([np.zeros(n), y[n:]])
+        state = (gv[:n], gv[n:])
+    if opts.nitref > 0:
+        r = z - Ksp @ y
+        rnorm, xnorm = np.linalg.norm(r), np.linalg.norm(z)
+        nit = 0
+        while nit < opts.nitref and (rnorm >= opts.itref_tol * xnorm
+                                     or opts.force_itref):
+            y = y + K_lu(r)
+            r = z - Ksp @ y
+            rnorm = np.linalg.norm(r)
+            nit += 1
+    return state, y
+
+
+@pytest.mark.parametrize("popts", [
+    PrecondOptions(nitref=0),
+    PrecondOptions(nitref=3, itref_tol=1e-8),
+    PrecondOptions(nitref=1, force_itref=True, residual_update=True),
+    PrecondOptions(nitref=2, residual_update=True),
+])
+def test_apply_matches_opldl2_oracle(rng, popts):
+    import jax.numpy as jnp
+
+    sys_ = random_sqd_system(40, 18, seed=11)
+    M = make_preconditioner(sys_.G, sys_.B, sys_.C, backend="ldl", panel=16,
+                            options=popts)
+    Ksp = assemble_kp(sys_.G, sys_.B, sys_.C).tocsc()
+    lu = spla.splu(Ksp)
+    n, m = 40, 18
+
+    state_dev = M.init_state(np.float64)
+    state_ref = (np.zeros(n), np.zeros(m))
+    # three consecutive applications exercise the GHN cache coupling
+    for i in range(3):
+        z = rng.standard_normal(n + m)
+        state_dev, y_dev, _ = M.apply(state_dev, jnp.asarray(z))
+        state_ref, y_ref = _oracle_apply(lu.solve, Ksp, n, m, popts,
+                                         state_ref, z)
+        np.testing.assert_allclose(np.asarray(y_dev), y_ref, rtol=1e-9,
+                                   atol=1e-10, err_msg=f"application {i}")
