@@ -73,7 +73,7 @@ def _solve_core(method: str, b, A_op, C_op, B_op, M: CPPrecond,
         b1 = b[:n]
 
     kernel = _solver_registry()[method]
-    res = kernel(b1, A_op, C_op, M, opts, mstate)
+    res = kernel(b1, A_op, C_op, M, opts, mstate, B=B_op)
 
     x1 = xy0[:n] + res.x if shift else res.x     # reg_cpkrylov.m:166-172
     x2 = xy0[n:] + res.y if shift else res.y

@@ -74,7 +74,7 @@ class CPState(NamedTuple):
 
 
 @partial(_register, data_fields=("factor", "kp"),
-         meta_fields=("n", "m", "options"))
+         meta_fields=("n", "m", "options", "factor_nitref"))
 @dataclasses.dataclass(frozen=True)
 class CPPrecond:
     """Constraint preconditioner: factors + K_P + behavioural options."""
@@ -84,6 +84,20 @@ class CPPrecond:
     n: int
     m: int
     options: PrecondOptions
+    # Internal refinement steps fused into every direct solve.  The native
+    # LDL backend factors without dynamic pivoting (SQD assumption), which
+    # can lose digits to element growth under fill-reducing orderings; one
+    # refinement step restores machine-precision solves, matching the
+    # accuracy MATLAB gets from MA57's pivoted ldl (opLDL2.m:82) so the
+    # user-visible nitref/GHN semantics behave identically.
+    factor_nitref: int = 1
+
+    def _direct_solve(self, z: jax.Array) -> jax.Array:
+        y = self.factor.solve(z)
+        for _ in range(self.factor_nitref):
+            r = z - csr_matvec(self.kp, y)
+            y = y + self.factor.solve(r)
+        return y
 
     # -- state -------------------------------------------------------------
     def init_state(self, dtype=None) -> CPState:
@@ -109,7 +123,7 @@ class CPPrecond:
             zz = z - jnp.concatenate([state.aty, state.cy])
         else:
             zz = z
-        y = self.factor.solve(zz)
+        y = self._direct_solve(zz)
 
         if opts.residual_update:
             y2 = y[n:]
@@ -129,7 +143,7 @@ class CPPrecond:
 
             def body(carry):
                 nit, yk, _, _ = carry
-                yk = yk + self.factor.solve(carry[2])
+                yk = yk + self._direct_solve(carry[2])
                 rk = z - csr_matvec(self.kp, yk)
                 return nit + 1, yk, rk, jnp.linalg.norm(rk)
 
@@ -159,6 +173,7 @@ def assemble_kp(G, B, C):
 def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
                         backend: str = "auto", ordering: str = "rcm",
                         panel: int = 256, reg_value: float = 1e-10,
+                        factor_nitref: int | None = None,
                         dtype=np.float64) -> CPPrecond:
     """Build the constraint preconditioner (host factorization + device pack).
 
@@ -201,6 +216,10 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
             perm_out=jnp.asarray(fac.col_scatter, dtype=jnp.int32),
         )
 
+    if factor_nitref is None:
+        # LDL without dynamic pivoting needs one refinement step to reach
+        # MA57-class solve accuracy; splu pivots and does not.
+        factor_nitref = 1 if isinstance(fac, ldl_host.HostLDL) else 0
     kp_dev = csr_from_scipy(ksp.tocsr(), dtype=dtype)
     return CPPrecond(factor=factor, kp=kp_dev, n=int(n), m=int(m),
-                     options=options)
+                     options=options, factor_nitref=int(factor_nitref))

@@ -23,12 +23,14 @@ STATUS_SOLVED = 0          # residual small compared to initial residual
 STATUS_ITMAX = 1           # maximum number of iterations attained
 STATUS_INDEFINITE = 2      # beta^2 < -100*eps: preconditioner not SPD-like
 STATUS_BACKWARD = 3        # backward error small (cpcglanczos btol)
+STATUS_BREAKDOWN = 4       # coupled inner product lost positivity
 
 STATUS_STRINGS = {
     STATUS_SOLVED: "residual small compared to initial residual",
     STATUS_ITMAX: "maximum number of iterations attained",
     STATUS_INDEFINITE: "preconditioner not second-order sufficient",
     STATUS_BACKWARD: "backward error small",
+    STATUS_BREAKDOWN: "basis breakdown (coupled inner product nonpositive)",
 }
 
 
@@ -141,6 +143,72 @@ def resolve_itmax(opts: SolverOptions, default: int) -> int:
 def history_init(itmax: int, first, dtype) -> jax.Array:
     h = jnp.full(itmax + 1, jnp.nan, dtype=dtype)
     return h.at[0].set(first)
+
+
+def lanczos_step(A, C, M, mstate, vk, qk, vkm1, qkm1, beta, e100):
+    """One coupled Lanczos step shared by the symmetric-family kernels.
+
+    Computes u = A v_k, t = C q_k, the coupled alpha, one preconditioner
+    application, and the three-term recurrences for (v_{k+1}, q_{k+1}) with
+    the q-coupling ``q_{k+1} = q_k - w2 - alpha q_k - beta q_{k-1}``
+    (cpminres.m:187-206 / cpcglanczos.m:232-262 / cpsymmlq.m:266-285 share
+    this block verbatim in the reference).
+
+    Returns (mstate, u, t, alpha, v_{k+1}, q_{k+1}, beta_{k+1}, indefinite).
+    """
+    u = A.matvec(vk)
+    t = C.matvec(qk)
+    alpha = coupled_dot(u, vk, t, qk)
+    mstate, w1, w2, _ = M.apply_nm(mstate, u, -t)
+    vkp1 = w1 - alpha * vk - beta * vkm1
+    qkp1 = (qk - w2) - alpha * qk - beta * qkm1
+    beta2 = coupled_dot(u, vkp1, t, qkp1)
+    # Relative threshold: the reference compares against an absolute -100*eps
+    # (cpminres.m:195), which spuriously fires on post-convergence roundoff
+    # noise; scaling by the same-unit |alpha| only changes behavior where
+    # the reference would crash.
+    indefinite = beta2 < -e100 * (1 + jnp.abs(alpha))
+    beta_new = jnp.sqrt(jnp.abs(beta2))
+    vkp1, qkp1 = safe_normalize_pair(vkp1, qkp1, beta_new)
+    return mstate, u, t, alpha, vkp1, qkp1, beta_new, indefinite
+
+
+def initial_lanczos_pair(b, m, M, mstate, e100):
+    """Initial Lanczos pair (v1, q1) and beta1 (cpminres.m:130-147 et al.)."""
+    t0 = jnp.zeros(m, b.dtype)
+    mstate, w1, w2, _ = M.apply_nm(mstate, b, t0)
+    vkp1 = w1
+    qkp1 = -w2
+    beta0 = jnp.dot(b, vkp1)
+    indefinite = beta0 < -e100 * (1 + jnp.abs(beta0))
+    beta = jnp.sqrt(jnp.abs(beta0))
+    vkp1, qkp1 = safe_normalize_pair(vkp1, qkp1, beta)
+    return mstate, vkp1, qkp1, beta, indefinite
+
+
+def manifold_ok(B_op, C_op, x, y, stop_tol=0.0):
+    """Constraint-preservation check: healthy CP iterates keep ``B x - C y``
+    near rounding level by construction (the defining property of the
+    family), certainly well under the requested residual tolerance.  A gross
+    violation marks the degenerate regime where residual estimates decouple
+    from the truth; used to veto a bogus `solved` flag at kernel exit."""
+    bx = B_op.matvec(x)
+    cy = C_op.matvec(y)
+    viol = jnp.linalg.norm(bx - cy)
+    scale = 1.0 + jnp.linalg.norm(bx) + jnp.linalg.norm(cy)
+    feps = float(np.finfo(np.dtype(x.dtype)).eps)
+    return viol <= jnp.maximum((feps ** 0.5) * scale, 10.0 * stop_tol)
+
+
+def apply_manifold_veto(solved, istatus, B, C_op, x, y, stop_tol=0.0):
+    """AND the manifold check into `solved`; flag a veto as breakdown."""
+    if B is None:
+        return solved, istatus
+    ok = manifold_ok(aslinearoperator(B), C_op, x, y, stop_tol)
+    vetoed = solved & ~ok
+    solved = solved & ok
+    istatus = jnp.where(vetoed, STATUS_BREAKDOWN, istatus).astype(jnp.int32)
+    return solved, istatus
 
 
 def debug_iter_print(enabled: bool, k, resid):

@@ -15,8 +15,9 @@ import jax.numpy as jnp
 from ..config import SolverOptions
 from ..precond.cp import CPPrecond, CPState
 from .common import (KrylovResult, STATUS_INDEFINITE, STATUS_ITMAX,
-                     STATUS_SOLVED, coupled_dot, eps100, history_init,
-                     resolve_itmax, resolve_operators, safe_normalize_pair)
+                     STATUS_SOLVED, apply_manifold_veto, coupled_dot,
+                     eps100, history_init, resolve_itmax, resolve_operators,
+                     safe_normalize_pair)
 
 
 class _Carry(NamedTuple):
@@ -44,7 +45,7 @@ class _Carry(NamedTuple):
 
 
 def cpminres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
-             mstate: CPState | None = None) -> KrylovResult:
+             mstate: CPState | None = None, B=None) -> KrylovResult:
     """Solve [A B'; B -C][x; y] = [b; 0] via CP-MINRES.
 
     Mirrors cpminres.m; A and C must be symmetric.  ``mstate`` threads the
@@ -71,7 +72,7 @@ def cpminres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
     vkp1 = w1
     qkp1 = -w2
     beta0 = jnp.dot(u0, vkp1)                          # cpminres.m:134
-    indefinite0 = beta0 < -e100                        # cpminres.m:136-139
+    indefinite0 = beta0 < -e100 * (1 + jnp.abs(beta0))  # cpminres.m:136-139
     beta = jnp.sqrt(jnp.abs(beta0))
     vkp1, qkp1 = safe_normalize_pair(vkp1, qkp1, beta)
 
@@ -108,7 +109,9 @@ def cpminres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         vkp1 = w1 - alpha * vk - c.beta * vkm1
         qkp1 = (qk - w2) - alpha * qk - c.beta * qkm1
         beta2 = coupled_dot(u, vkp1, t, qkp1)
-        indefinite = beta2 < -e100                     # cpminres.m:195-199
+        # Relative version of the reference's absolute guard (cpminres.m:195
+        # -199); see common.lanczos_step.
+        indefinite = beta2 < -e100 * (1 + jnp.abs(alpha))
         beta = jnp.sqrt(jnp.abs(beta2))
         vkp1, qkp1 = safe_normalize_pair(vkp1, qkp1, beta)
 
@@ -139,11 +142,17 @@ def cpminres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         if opts.verbose:
             jax.debug.print("{k:5d}  {r:9.2e}", k=k, r=resid)
 
-        return _Carry(k=k, x=x, y=y, vk=vk, qk=qk, vkp1=vkp1, qkp1=qkp1,
-                      beta=beta, deltabar=deltabar, epsln=epsln,
-                      taubar=taubar, cs=cs, sn=sn, wv=wv, wq=wq, wv2=wv2,
-                      wq2=wq2, resid=resid, hist=hist, mstate=mstate,
-                      indefinite=indefinite)
+        advanced = _Carry(k=k, x=x, y=y, vk=vk, qk=qk, vkp1=vkp1,
+                          qkp1=qkp1, beta=beta, deltabar=deltabar,
+                          epsln=epsln, taubar=taubar, cs=cs, sn=sn, wv=wv,
+                          wq=wq, wv2=wv2, wq2=wq2, resid=resid, hist=hist,
+                          mstate=mstate, indefinite=indefinite)
+        # On indefiniteness the reference errors out mid-iteration
+        # (cpminres.m:195-199), losing everything; here the last good
+        # iterate is kept and the status reports the guard.
+        kept = c._replace(indefinite=indefinite, mstate=mstate)
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(indefinite, a, b), kept, advanced)
 
     out = jax.lax.while_loop(cond, body, carry)
 
@@ -152,6 +161,8 @@ def cpminres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         out.indefinite, STATUS_INDEFINITE,
         jnp.where(solved, STATUS_SOLVED, STATUS_ITMAX),
     ).astype(jnp.int32)
+    solved, istatus = apply_manifold_veto(solved, istatus, B, C, out.x,
+                                          out.y, stop_tol)
     return KrylovResult(x=out.x, y=out.y, niters=out.k,
                         resid_history=out.hist, solved=solved,
                         istatus=istatus)

@@ -26,9 +26,9 @@ def test_exact_preconditioner_converges_immediately():
 
 @pytest.mark.parametrize("backend", ["ldl", "lu"])
 def test_random_system_matches_direct(backend):
-    s = random_sqd_system(80, 30, seed=5)
+    s = random_sqd_system(80, 30, seed=5, delta=1e-2)
     out = solve("cpminres", s.b, s.A, s.B, s.C, s.G, backend=backend,
-                panel=32, opts=SolverOptions(atol=1e-8, rtol=1e-8))
+                panel=32, opts=SolverOptions(atol=1e-7, rtol=1e-7))
     assert out.solved
     x_ref = spla.spsolve(s.K.tocsc(), s.b)
     rel = np.linalg.norm(np.asarray(out.x) - x_ref) / np.linalg.norm(x_ref)

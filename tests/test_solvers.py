@@ -1,0 +1,144 @@
+"""Unit tests for all six kernels on synthetic systems + cross-solver
+consistency.  Golden fixture tests live in test_golden.py."""
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+from cpkrylov_tpu import SolverOptions, solve
+from cpkrylov_tpu.utils.fixtures import random_sqd_system
+
+SYM_SOLVERS = ["cpcg", "cpcglanczos", "cpminres", "cpsymmlq"]
+ALL_SOLVERS = SYM_SOLVERS + ["cpgmres", "cpdqgmres"]
+
+
+def _relerr(out, s):
+    x_ref = spla.spsolve(s.K.tocsc(), s.b)
+    return np.linalg.norm(np.asarray(out.x) - x_ref) / np.linalg.norm(x_ref)
+
+
+@pytest.mark.parametrize("name", ALL_SOLVERS)
+def test_symmetric_system(name):
+    s = random_sqd_system(70, 25, seed=21, delta=1e-2)
+    out = solve(name, s.b, s.A, s.B, s.C, s.G, panel=32,
+                opts=SolverOptions(atol=1e-6, rtol=1e-6, itmax=300))
+    assert out.solved, f"{name}: {out.result.status}"
+    assert _relerr(out, s) < 1e-4, name
+
+
+@pytest.mark.parametrize("name", ["cpgmres", "cpdqgmres"])
+def test_nonsymmetric_system(name):
+    s = random_sqd_system(60, 20, seed=33, nonsymmetric=True, delta=1e-2)
+    out = solve(name, s.b, s.A, s.B, s.C, s.G, panel=32,
+                opts=SolverOptions(atol=1e-6, rtol=1e-6, itmax=300))
+    assert out.solved, f"{name}: {out.result.status}"
+    assert _relerr(out, s) < 1e-4, name
+
+
+@pytest.mark.parametrize("name", ALL_SOLVERS)
+def test_exact_preconditioner_fast_convergence(name):
+    s = random_sqd_system(50, 20, seed=4, g_exact=True)
+    out = solve(name, s.b, s.A, s.B, s.C, s.G, panel=32)
+    if name == "cpsymmlq":
+        # Known reference defect: cpsymmlq's end-game degenerates when the
+        # solve terminates at k=1 (verified against a literal transcription
+        # of cpsymmlq.m, which returns rel-err 3.5e-2 while claiming
+        # convergence).  The manifold veto reports it honestly instead.
+        assert bool(out.solved) or out.istatus == 4
+        return
+    assert out.solved
+    assert out.niters <= 3, f"{name} took {out.niters} iters with G=A"
+
+
+def test_solver_consistency():
+    # All symmetric-family solvers must agree on the same system.
+    s = random_sqd_system(80, 30, seed=55, delta=1e-2)
+    xs = {}
+    for name in SYM_SOLVERS:
+        out = solve(name, s.b, s.A, s.B, s.C, s.G, panel=32,
+                    opts=SolverOptions(atol=1e-6, rtol=1e-6, itmax=300))
+        assert out.solved, name
+        xs[name] = np.asarray(out.x)
+    ref = xs["cpminres"]
+    for name, x in xs.items():
+        np.testing.assert_allclose(x, ref, rtol=1e-4, atol=1e-6,
+                                   err_msg=name)
+
+
+def test_gmres_restart_sweep():
+    # Smaller restarts must still converge (more total iterations).
+    s = random_sqd_system(60, 20, seed=8, nonsymmetric=True)
+    iters = {}
+    for restart in (5, 20, 60):
+        out = solve("cpgmres", s.b, s.A, s.B, s.C, s.G, panel=32,
+                    opts=SolverOptions(restart=restart, itmax=400))
+        assert out.solved, f"restart={restart}"
+        iters[restart] = out.niters
+    assert iters[60] <= iters[5]
+
+
+def test_dqgmres_memory_sweep():
+    s = random_sqd_system(60, 20, seed=8, nonsymmetric=True)
+    for mem in (2, 10, 60):
+        out = solve("cpdqgmres", s.b, s.A, s.B, s.C, s.G, panel=32,
+                    opts=SolverOptions(mem=mem, itmax=400))
+        assert out.solved, f"mem={mem}"
+
+
+def test_symmlq_histories():
+    s = random_sqd_system(50, 20, seed=12)
+    out = solve("cpsymmlq", s.b, s.A, s.B, s.C, s.G, panel=32,
+                opts=SolverOptions(itmax=200))
+    res = out.result
+    lq = np.asarray(res.lq_resid_history)
+    qr = np.asarray(res.qr_resid_history)
+    cg = np.asarray(res.cg_resid_history)
+    k = out.niters
+    # loop appends k entries + 1 wrap-up entry for lq/qr; cg gets beta1 at 0.
+    assert np.isfinite(lq[: k + 1]).all() and np.isnan(lq[k + 1:]).all()
+    assert np.isfinite(qr[: k + 1]).all()
+    assert np.isfinite(cg[: k + 1]).all()
+    # QR (MINRES) residuals are monotonically nonincreasing.
+    assert (np.diff(qr[: k + 1]) <= 1e-12).all()
+
+
+@pytest.mark.parametrize("name", ALL_SOLVERS)
+def test_itmax_respected(name):
+    s = random_sqd_system(60, 25, seed=77)
+    out = solve(name, s.b, s.A, s.B, s.C, s.G, panel=32,
+                opts=SolverOptions(atol=1e-14, rtol=1e-14, itmax=3))
+    # GMRES may round itmax up to a full restart cycle (cpgmres.m:148).
+    limit = 3 if name != "cpgmres" else 50
+    assert out.niters <= limit
+    if not out.solved:
+        assert out.istatus in (1,)  # STATUS_ITMAX
+
+
+def test_cglanczos_btol_stops_early():
+    s = random_sqd_system(70, 25, seed=91)
+    base = solve("cpcglanczos", s.b, s.A, s.B, s.C, s.G, panel=32,
+                 opts=SolverOptions(atol=1e-12, rtol=1e-12, itmax=300))
+    loose = solve("cpcglanczos", s.b, s.A, s.B, s.C, s.G, panel=32,
+                  opts=SolverOptions(atol=1e-12, rtol=1e-12, btol=1e-4,
+                                     itmax=300))
+    assert loose.solved
+    assert loose.niters <= base.niters
+
+
+@pytest.mark.parametrize("name", ALL_SOLVERS)
+def test_unattainable_tolerance_is_honest(name):
+    # Requesting accuracy below the attainable floor must never return a
+    # corrupted iterate flagged as solved (the MATLAB reference either
+    # crashes or silently corrupts x in this regime).
+    s = random_sqd_system(70, 25, seed=21, delta=1e-2)
+    out = solve(name, s.b, s.A, s.B, s.C, s.G, panel=32,
+                opts=SolverOptions(atol=1e-13, rtol=1e-13, itmax=300))
+    rel = _relerr(out, s)
+    if out.solved:
+        assert rel < 1e-6, (name, rel)
+    else:
+        assert out.istatus != 0
+        # The minimization-property methods must also hand back a usable
+        # iterate; cpcg/cpgmres estimates can decouple from the truth in
+        # this regime (honest status is their contract).
+        if name not in ("cpcg", "cpgmres"):
+            assert rel < 1e-3, (name, rel, out.result.status)
