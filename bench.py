@@ -56,38 +56,51 @@ def main() -> None:
         dev.platform not in ("cpu",)
     dtype = np.float32
 
-    rows = 1 << 21 if on_tpu else 1 << 16
+    rows = 1 << 20 if on_tpu else 1 << 16
     k = 8
     band = 1024
-    data_np, cols_np = _build_ell(rows, k, band, dtype)
     nnz = rows * k
 
-    data = jnp.asarray(data_np)
-    cols = jnp.asarray(cols_np)
     x0 = jnp.asarray(np.random.default_rng(1).standard_normal(rows)
                      .astype(dtype))
 
-    chain = 8  # matvecs per jitted call (amortizes dispatch overhead)
+    if on_tpu:
+        # Pallas PGELL kernel (the production TPU path).
+        import scipy.sparse as sp
 
-    @jax.jit
-    def spmv_chain(x):
-        def step(_, x):
-            y = (data * jnp.take(x, cols, mode="clip")).sum(axis=1)
-            return y * jnp.float32(1e-3)  # keep magnitudes bounded
-        return jax.lax.fori_loop(0, chain, step, x)
+        from cpkrylov_tpu.ops.pgell import pack_pgell
+        from cpkrylov_tpu.ops.pallas_spmv import pgell_matvec
+
+        data_np, cols_np = _build_ell(rows, k, band, dtype)
+        r = np.repeat(np.arange(rows), k)
+        A = sp.csr_matrix(
+            (data_np.reshape(-1), (r, cols_np.reshape(-1))),
+            shape=(rows, rows))
+        nnz = A.nnz
+        mat = pack_pgell(A, tile_rows=2048, dtype=dtype)
+
+        def spmv(x):
+            return pgell_matvec(mat, x)
+    else:
+        data_np, cols_np = _build_ell(rows, k, band, dtype)
+        data = jnp.asarray(data_np)
+        cols = jnp.asarray(cols_np)
+
+        @jax.jit
+        def spmv(x):
+            return (data * jnp.take(x, cols, mode="clip")).sum(axis=1)
 
     # Warmup / compile.
-    spmv_chain(x0).block_until_ready()
+    spmv(x0).block_until_ready()
 
-    reps = 10
+    reps = 50
     t0 = time.perf_counter()
-    y = x0
     for _ in range(reps):
-        y = spmv_chain(y)
+        y = spmv(x0)
     y.block_until_ready()
     elapsed = time.perf_counter() - t0
 
-    total_nnz = nnz * chain * reps
+    total_nnz = nnz * reps
     nnz_per_s = total_nnz / elapsed
 
     # SoL model: per nnz, read 4B data + 4B col index + 4B gathered operand,
@@ -97,7 +110,8 @@ def main() -> None:
     target = 0.70 * sol
 
     print(json.dumps({
-        "metric": f"ell_spmv_nnz_per_s[{dev.device_kind}]",
+        "metric": f"pgell_spmv_nnz_per_s[{dev.device_kind}]"
+                  if on_tpu else f"ell_spmv_nnz_per_s[{dev.device_kind}]",
         "value": round(nnz_per_s / 1e9, 3),
         "unit": "Gnnz/s",
         "vs_baseline": round(nnz_per_s / target, 3),

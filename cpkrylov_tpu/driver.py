@@ -84,7 +84,8 @@ def solve(method, b, A, B, C, G, *,
           opts: SolverOptions | None = None,
           precond_opts: PrecondOptions | None = None,
           backend: str = "auto", ordering: str = "rcm", panel: int = 256,
-          dtype=None, M: CPPrecond | None = None) -> SolveOutput:
+          dtype=None, M: CPPrecond | None = None,
+          debug: bool = False) -> SolveOutput:
     """Solve the regularized saddle-point system [A B'; B -C] [x1;x2] = b.
 
     ``method`` is a kernel name ("cpminres", "cpcg", "cpcglanczos",
@@ -100,6 +101,9 @@ def solve(method, b, A, B, C, G, *,
         raise ValueError(f"unknown solver {method!r}")
 
     b = np.asarray(b).reshape(-1)
+    if debug:
+        from .utils.debug import validate_system
+        validate_system(A, B, C, G, b)
     explicit_dtype = dtype is not None
     dtype = np.dtype(dtype or b.dtype)
     canonical = jax.dtypes.canonicalize_dtype(dtype)
@@ -137,6 +141,9 @@ def solve(method, b, A, B, C, G, *,
     x1.block_until_ready()
     stime = time.perf_counter() - t1
 
+    if debug:
+        from .utils.debug import check_finite
+        check_finite((x1, x2), "solution")
     hist = np.asarray(res.resid_history)
     return SolveOutput(
         x=jnp.concatenate([x1, x2]), x1=x1, x2=x2,

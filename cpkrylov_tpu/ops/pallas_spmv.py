@@ -22,9 +22,9 @@ from .pgell import LANE, PGELL, pad_x_pages
 
 
 def _kernel(wstart_ref,                      # scalar-prefetch (T,)
-            vals_ref, lane_ref, page_ref, bucket_ref, x2d_ref,
+            vals_ref, lane_ref, page_ref, x2d_ref,
             out_ref, win_ref, sem,
-            *, wp: int, s_rows: int, buckets: int):
+            *, wp: int, s_rows: int, buckets: int, depth: int):
     t = pl.program_id(0)
     p0 = wstart_ref[t]
 
@@ -35,24 +35,20 @@ def _kernel(wstart_ref,                      # scalar-prefetch (T,)
     vals = vals_ref[0]                      # (S, 128)
     lanes = lane_ref[0]                     # (S, 128) i32
     pages = page_ref[0]                     # (S, 1)
-    bucks = bucket_ref[0]                   # (S, 1)
 
     onehot_p = (jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 1)
                 == pages).astype(vals.dtype)
-    onehot_b = (jax.lax.broadcasted_iota(jnp.int32, (buckets, s_rows), 0)
-                == bucks.reshape(1, s_rows)).astype(vals.dtype)
 
     copy.wait()
-    # precision=HIGHEST: the one-hot operands are exact, but default (bf16)
-    # MXU passes would truncate the x values / products to 8 mantissa bits.
+    # precision=HIGHEST: the one-hot operand is exact, but default (bf16)
+    # MXU passes would truncate the x values to 8 mantissa bits.
     g1 = jnp.dot(onehot_p, win_ref[:].astype(vals.dtype),
                  preferred_element_type=jnp.float32,
                  precision=jax.lax.Precision.HIGHEST)
     g2 = jnp.take_along_axis(g1, lanes, axis=1)
     prod = vals * g2
-    out_ref[0] = jnp.dot(onehot_b, prod,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+    # bucket-major uniform-depth layout: accumulation is a reshape + sum
+    out_ref[0] = prod.reshape(buckets, depth, 128).sum(axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -71,7 +67,6 @@ def pgell_matvec(mat: PGELL, x: jax.Array, interpret: bool = False):
             pl.BlockSpec((1, S, LANE), lambda t, w: (t, 0, 0)),
             pl.BlockSpec((1, S, LANE), lambda t, w: (t, 0, 0)),
             pl.BlockSpec((1, S, 1), lambda t, w: (t, 0, 0)),
-            pl.BlockSpec((1, S, 1), lambda t, w: (t, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),        # x2d stays in HBM
         ],
         out_specs=pl.BlockSpec((1, B, LANE), lambda t, w: (t, 0, 0)),
@@ -80,11 +75,12 @@ def pgell_matvec(mat: PGELL, x: jax.Array, interpret: bool = False):
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kern = functools.partial(_kernel, wp=wp, s_rows=S, buckets=B)
+    kern = functools.partial(_kernel, wp=wp, s_rows=S, buckets=B,
+                             depth=mat.depth)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, B, LANE), jnp.float32),
         interpret=interpret,
-    )(mat.wstart, mat.vals, mat.lane_idx, mat.page_sel, mat.bucket_sel, x2d)
+    )(mat.wstart, mat.vals, mat.lane_idx, mat.page_sel, x2d)
     return out.reshape(-1)[: mat.shape[0]].astype(x.dtype)

@@ -43,22 +43,25 @@ def _register(cls, data_fields, meta_fields):
 
 
 @partial(_register,
-         data_fields=("vals", "lane_idx", "page_sel", "bucket_sel",
-                      "wstart"),
-         meta_fields=("shape", "tile_rows", "wp", "s_rows"))
+         data_fields=("vals", "lane_idx", "page_sel", "wstart"),
+         meta_fields=("shape", "tile_rows", "wp", "s_rows", "depth"))
 @dataclasses.dataclass(frozen=True)
 class PGELL:
-    """Packed matrix; T = number of row tiles, S = slot-rows per tile."""
+    """Packed matrix; T = number of row tiles, S = B * D slot-rows per tile.
+
+    Slot-rows are bucket-major with uniform depth D, so slot-row s serves
+    bucket ``s // D`` implicitly.
+    """
 
     vals: jax.Array        # (T, S, 128) f32 entry values (0 = padding)
     lane_idx: jax.Array    # (T, S, 128) i32 source lane (col % 128)
     page_sel: jax.Array    # (T, S, 1)   i32 local x page of the slot-row
-    bucket_sel: jax.Array  # (T, S, 1)   i32 destination bucket of the slot-row
     wstart: jax.Array      # (T,)        i32 first x page of the tile window
     shape: Tuple[int, int]
     tile_rows: int         # TR (multiple of 128); buckets B = TR // 128
     wp: int                # pages per window
-    s_rows: int            # S
+    s_rows: int            # S = B * depth
+    depth: int             # uniform slot depth per bucket
 
     @property
     def ntiles(self) -> int:
@@ -129,35 +132,37 @@ def pack_pgell(mat, tile_rows: int = 2048, min_wp: int = 8,
     depth = np.empty_like(gk_sorted)
     depth[order] = np.arange(gk_sorted.size) - grp_start
 
-    # slot-row identity = (tile, bucket, page, depth)
-    skey = ((tile * (tile_rows // LANE) + bucket) * wp + page) \
+    # slot-row identity = (tile, bucket, page, depth); layout is
+    # bucket-major with a *uniform* per-bucket depth D, so the bucket
+    # accumulation in the kernel is a free reshape + sum (no matmul).
+    nb = tile_rows // LANE
+    skey = ((tile * nb + bucket) * wp + page) \
         * (int(depth.max()) + 1 if depth.size else 1) + depth
     uniq, slot_of_entry = np.unique(skey, return_inverse=True)
-    # per-tile ordinal slot index
-    slot_tile = np.empty(uniq.shape, np.int64)
-    slot_bucket = np.empty(uniq.shape, np.int64)
-    slot_page = np.empty(uniq.shape, np.int64)
-    first = np.zeros(uniq.shape, np.int64)
-    # map each unique slot back to a representative entry
     rep = np.zeros(uniq.size, np.int64)
     rep[slot_of_entry] = np.arange(er.size)
     slot_tile = tile[rep]
     slot_bucket = bucket[rep]
     slot_page = page[rep]
-    # ordinal within tile (uniq is sorted by skey => tiles contiguous)
-    tile_first = np.searchsorted(slot_tile, np.arange(ntiles), side="left")
-    s_of_slot = np.arange(uniq.size) - tile_first[slot_tile]
-    s_counts = np.diff(np.append(tile_first, uniq.size))
+    # per-(tile, bucket) ordinal of each slot (uniq sorted => contiguous)
+    tb = slot_tile * nb + slot_bucket
+    tb_first = np.searchsorted(tb, np.arange(ntiles * nb), side="left")
+    d_of_slot = np.arange(uniq.size) - tb_first[tb]
+    d_counts = np.diff(np.append(tb_first, uniq.size))
 
     T = ntiles
-    smax = int(s_counts.max()) if uniq.size else 1
-    smax = max(8, -(-smax // 8) * 8)  # sublane alignment for Pallas blocks
+    dmax = int(d_counts.max()) if uniq.size else 1
+    # S = B * D; keep the (B*D) product sublane-aligned via D
+    dmax = max(1, dmax)
+    while (nb * dmax) % 8:
+        dmax += 1
+    smax = nb * dmax
+    s_of_slot = slot_bucket * dmax + d_of_slot
+
     vals = np.zeros((T, smax, LANE), dtype)
     lane_idx = np.zeros((T, smax, LANE), np.int32)
     page_sel = np.zeros((T, smax), np.int32)
-    bucket_sel = np.zeros((T, smax), np.int32)
     page_sel[slot_tile, s_of_slot] = slot_page
-    bucket_sel[slot_tile, s_of_slot] = slot_bucket
     es = s_of_slot[slot_of_entry]
     vals[tile, es, lane] = ev
     lane_idx[tile, es, lane] = lidx
@@ -165,10 +170,9 @@ def pack_pgell(mat, tile_rows: int = 2048, min_wp: int = 8,
     return PGELL(
         vals=jnp.asarray(vals), lane_idx=jnp.asarray(lane_idx),
         page_sel=jnp.asarray(page_sel[..., None]),
-        bucket_sel=jnp.asarray(bucket_sel[..., None]),
         wstart=jnp.asarray(np.asarray(p0s, np.int32)),
         shape=(int(nrows), int(ncols)), tile_rows=int(tile_rows),
-        wp=int(wp), s_rows=int(smax),
+        wp=int(wp), s_rows=int(smax), depth=int(dmax),
     )
 
 
@@ -195,10 +199,7 @@ def pgell_matvec_reference(mat: PGELL, x: jax.Array) -> jax.Array:
                      precision=jax.lax.Precision.HIGHEST)
         g2 = jnp.take_along_axis(g1, mat.lane_idx[t], axis=1)
         prod = mat.vals[t].astype(x.dtype) * g2
-        onehot_b = (jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
-                    == mat.bucket_sel[t].reshape(1, S)).astype(x.dtype)
-        return jnp.dot(onehot_b, prod,
-                       precision=jax.lax.Precision.HIGHEST).reshape(-1)
+        return prod.reshape(B, mat.depth, LANE).sum(axis=1).reshape(-1)
 
     y = jax.vmap(tile)(jnp.arange(T)).reshape(-1)
     return y[: mat.shape[0]]
