@@ -1,26 +1,27 @@
-"""PGELL — paged-gather ELL: a TPU-native sparse matrix format.
+"""PGELL — paged-gather ELL: a TPU-native sparse matrix format (v2).
 
 TPUs have no hardware gather; the one fast data-dependent primitive Mosaic
 exposes is ``tpu.dynamic_gather`` along lanes (a per-sublane-row 128-entry
-LUT, measured ~224 G elems/s on v5e).  PGELL organizes SpMV so that *all*
-other data movement is dense:
+LUT, measured ~224 G elems/s on v5e).  PGELL organizes SpMV so that every
+other data movement is dense and matmul-free:
 
-  * x is viewed as pages of 128 lanes: ``x2d (P, 128)``.
-  * nnz of a row tile are packed into slot-rows of 128 lanes; every slot-row
-    is homogeneous in (x-page, destination row-bucket): all its entries read
-    from one x page and accumulate into one 128-row output bucket, at the
-    lane equal to their destination row's offset within the bucket.
-  * the x page for each slot-row is brought in with an MXU one-hot matmul
-    ``onehotP (S, Wp) @ window (Wp, 128)``;
-  * the per-entry x element is then picked with the lane LUT
-    (``take_along_axis(..., axis=1)``);
-  * accumulation into the output buckets is a second MXU one-hot matmul
-    ``onehotB (B, S) @ prod (S, 128)``.
+  * x is viewed as pages of 128 lanes: ``x2d (P, 128)``; each row tile reads
+    a contiguous window of Wp pages (DMA'd to VMEM once per tile).
+  * slot-rows are page-major with a *uniform* depth D (slot s serves page
+    ``s // D``), so replicating each page's 128 lanes across its D slot-rows
+    is a free broadcast + reshape — no page-selection matmul.
+  * each nonzero (r, c, v) sits at slot lane ``r % 128`` (encoding its
+    destination row within its 128-row bucket) and stores ``c % 128`` as its
+    LUT index; the per-entry x element is picked with the lane gather.
+  * accumulation into output buckets: for banded matrices each bucket's
+    entries live in a short *contiguous* range of page-major slots
+    (host-precomputed), so ``y[bucket]`` is a masked sum over that range —
+    a handful of VPU passes, no matmul.
 
-Per-nnz cost: one lane-gather + one multiply on the VPU, plus
-O(Wp + B) MXU MACs, which the 128x128 systolic array absorbs.  The format
-is profitable for locally-banded matrices (e.g. RCM-ordered KKT systems)
-where each row tile touches a bounded window of x pages.
+Metadata (lane LUT index, bucket id) is int8, keeping HBM traffic near
+4 B + 2 B per slot entry.  The format is profitable for locally-banded
+matrices (e.g. RCM-ordered KKT systems); density = nnz / slot capacity is
+the main efficiency knob and is reported by ``nnz_density``.
 """
 from __future__ import annotations
 
@@ -43,29 +44,30 @@ def _register(cls, data_fields, meta_fields):
 
 
 @partial(_register,
-         data_fields=("vals", "lane_idx", "page_sel", "wstart"),
-         meta_fields=("shape", "tile_rows", "wp", "s_rows", "depth"))
+         data_fields=("vals", "lane_idx", "bucket_map", "wstart", "lo"),
+         meta_fields=("shape", "tile_rows", "wp", "depth", "rng_len"))
 @dataclasses.dataclass(frozen=True)
 class PGELL:
-    """Packed matrix; T = number of row tiles, S = B * D slot-rows per tile.
-
-    Slot-rows are bucket-major with uniform depth D, so slot-row s serves
-    bucket ``s // D`` implicitly.
-    """
+    """Packed matrix; T row tiles, S = Wp * D slot-rows per tile."""
 
     vals: jax.Array        # (T, S, 128) f32 entry values (0 = padding)
-    lane_idx: jax.Array    # (T, S, 128) i32 source lane (col % 128)
-    page_sel: jax.Array    # (T, S, 1)   i32 local x page of the slot-row
-    wstart: jax.Array      # (T,)        i32 first x page of the tile window
+    lane_idx: jax.Array    # (T, S, 128) i8 source lane (col % 128)
+    bucket_map: jax.Array  # (T, S, 128) i8 destination bucket (-1 = padding)
+    wstart: jax.Array      # (T,)  i32 first x page of the tile window
+    lo: jax.Array          # (T, B) i32 start slot of each bucket's range
     shape: Tuple[int, int]
     tile_rows: int         # TR (multiple of 128); buckets B = TR // 128
     wp: int                # pages per window
-    s_rows: int            # S = B * depth
-    depth: int             # uniform slot depth per bucket
+    depth: int             # uniform slot depth D per page
+    rng_len: int           # padded bucket-range length R (multiple of 8)
 
     @property
     def ntiles(self) -> int:
         return self.vals.shape[0]
+
+    @property
+    def s_rows(self) -> int:
+        return self.vals.shape[1]
 
     @property
     def buckets(self) -> int:
@@ -74,27 +76,30 @@ class PGELL:
     @property
     def nnz_density(self) -> float:
         """Fraction of slot capacity holding real entries."""
-        return float((np.asarray(self.vals) != 0).mean())
+        return float((np.asarray(self.bucket_map) >= 0).mean())
 
 
-def pack_pgell(mat, tile_rows: int = 2048, min_wp: int = 8,
+def pack_pgell(mat, tile_rows: int = 2048, min_wp: int = 1,
                dtype=np.float32) -> PGELL:
     """Pack a scipy sparse matrix into PGELL.
 
-    ``tile_rows`` must be a multiple of 128.  The window size Wp is chosen as
-    the maximum page span over tiles (so the format suits locally banded
-    matrices; a single dense row would force Wp ~ ncols/128).
+    ``tile_rows`` must be a multiple of 128 and at most 16128 (bucket ids
+    are int8).  Window size Wp and depth D are the maxima over tiles, so the
+    format suits locally banded matrices.
     """
     if tile_rows % LANE:
         raise ValueError("tile_rows must be a multiple of 128")
+    if tile_rows // LANE > 126:
+        raise ValueError("tile_rows > 16128 overflows int8 bucket ids")
     csr = sp.csr_matrix(mat)
+    csr.sum_duplicates()
     nrows, ncols = csr.shape
     npages = -(-max(ncols, 1) // LANE)
     ntiles = max(1, -(-nrows // tile_rows))
+    nb = tile_rows // LANE
 
-    # First pass: per-tile page spans -> global Wp.
-    spans = []
-    p0s = []
+    # Per-tile page spans -> global Wp and window starts.
+    spans, p0_list = [], []
     for t in range(ntiles):
         r0, r1 = t * tile_rows, min((t + 1) * tile_rows, nrows)
         cols = csr.indices[csr.indptr[r0]:csr.indptr[r1]]
@@ -103,13 +108,11 @@ def pack_pgell(mat, tile_rows: int = 2048, min_wp: int = 8,
         else:
             pmin = pmax = 0
         spans.append(pmax - pmin + 1)
-        p0s.append(pmin)
+        p0_list.append(pmin)
     wp = max(min_wp, max(spans))
-    # Keep windows inside the padded page array.
-    p0s = [min(p0, max(0, npages - wp)) for p0 in p0s]
-    npages_pad = max(npages, wp)
+    p0s = np.asarray([min(p0, max(0, npages - wp)) for p0 in p0_list],
+                     np.int64)
 
-    # Second pass: vectorized slot assignment.
     coo = csr.tocoo()
     er = coo.row.astype(np.int64)
     ec = coo.col.astype(np.int64)
@@ -117,62 +120,64 @@ def pack_pgell(mat, tile_rows: int = 2048, min_wp: int = 8,
     tile = er // tile_rows
     bucket = (er % tile_rows) // LANE
     lane = er % LANE
-    page = ec // LANE - np.asarray(p0s, np.int64)[tile]
-    lidx = (ec % LANE).astype(np.int32)
+    page = ec // LANE - p0s[tile]
+    lidx = (ec % LANE).astype(np.int8)
 
-    # occurrence depth within each (tile, bucket, page, lane) group
-    gkey = ((tile * (tile_rows // LANE) + bucket) * wp + page) * LANE + lane
+    # depth = occurrence rank within (tile, page, lane)
+    gkey = (tile * wp + page) * LANE + lane
     order = np.argsort(gkey, kind="stable")
-    gk_sorted = gkey[order]
-    newgrp = np.empty(gk_sorted.shape, bool)
-    newgrp[:1] = True
-    newgrp[1:] = gk_sorted[1:] != gk_sorted[:-1]
-    grp_start = np.maximum.accumulate(np.where(newgrp,
-                                               np.arange(gk_sorted.size), 0))
-    depth = np.empty_like(gk_sorted)
-    depth[order] = np.arange(gk_sorted.size) - grp_start
+    gs = gkey[order]
+    new = np.empty(gs.shape, bool)
+    new[:1] = True
+    new[1:] = gs[1:] != gs[:-1]
+    start = np.maximum.accumulate(np.where(new, np.arange(gs.size), 0))
+    depth = np.empty_like(gs)
+    depth[order] = np.arange(gs.size) - start
 
-    # slot-row identity = (tile, bucket, page, depth); layout is
-    # bucket-major with a *uniform* per-bucket depth D, so the bucket
-    # accumulation in the kernel is a free reshape + sum (no matmul).
-    nb = tile_rows // LANE
-    skey = ((tile * nb + bucket) * wp + page) \
-        * (int(depth.max()) + 1 if depth.size else 1) + depth
-    uniq, slot_of_entry = np.unique(skey, return_inverse=True)
-    rep = np.zeros(uniq.size, np.int64)
-    rep[slot_of_entry] = np.arange(er.size)
-    slot_tile = tile[rep]
-    slot_bucket = bucket[rep]
-    slot_page = page[rep]
-    # per-(tile, bucket) ordinal of each slot (uniq sorted => contiguous)
-    tb = slot_tile * nb + slot_bucket
-    tb_first = np.searchsorted(tb, np.arange(ntiles * nb), side="left")
-    d_of_slot = np.arange(uniq.size) - tb_first[tb]
-    d_counts = np.diff(np.append(tb_first, uniq.size))
+    D = int(depth.max()) + 1 if depth.size else 1
+    S = wp * D
+    # int8 arrays tile as (32, 128): slot count and range starts/lengths
+    # must be 32-aligned, which also covers f32's (8, 128) tiling.
+    S_pad = -(-S // 32) * 32
+    slot = page * D + depth
 
     T = ntiles
-    dmax = int(d_counts.max()) if uniq.size else 1
-    # S = B * D; keep the (B*D) product sublane-aligned via D
-    dmax = max(1, dmax)
-    while (nb * dmax) % 8:
-        dmax += 1
-    smax = nb * dmax
-    s_of_slot = slot_bucket * dmax + d_of_slot
+    vals = np.zeros((T, S_pad, LANE), dtype)
+    lane_idx = np.zeros((T, S_pad, LANE), np.int8)
+    bucket_map = np.full((T, S_pad, LANE), -1, np.int8)   # -1 = padding
+    vals[tile, slot, lane] = ev
+    lane_idx[tile, slot, lane] = lidx
+    bucket_map[tile, slot, lane] = bucket.astype(np.int8)
 
-    vals = np.zeros((T, smax, LANE), dtype)
-    lane_idx = np.zeros((T, smax, LANE), np.int32)
-    page_sel = np.zeros((T, smax), np.int32)
-    page_sel[slot_tile, s_of_slot] = slot_page
-    es = s_of_slot[slot_of_entry]
-    vals[tile, es, lane] = ev
-    lane_idx[tile, es, lane] = lidx
+    # Bucket slot ranges: bucket b touches pages [minp_b, maxp_b] ->
+    # slots [minp_b * D, (maxp_b + 1) * D).
+    tb = tile * nb + bucket
+    minp = np.full(T * nb, S, np.int64)
+    maxp = np.full(T * nb, -1, np.int64)
+    if er.size:
+        np.minimum.at(minp, tb, page)
+        np.maximum.at(maxp, tb, page)
+    minp = minp.reshape(T, nb)
+    maxp = maxp.reshape(T, nb)
+    empty = maxp < 0
+    minp[empty] = 0
+    maxp[empty] = -1
+    lo = minp * D
+    hi = (maxp + 1) * D
+    lo = (lo // 32) * 32              # align first, then size the range
+    rng = int((hi - lo).max()) if er.size else 32
+    rng = max(32, -(-rng // 32) * 32)
+    rng = min(rng, S_pad)
+    lo = np.minimum(lo, S_pad - rng)
+    lo = np.maximum(lo, 0)
 
     return PGELL(
         vals=jnp.asarray(vals), lane_idx=jnp.asarray(lane_idx),
-        page_sel=jnp.asarray(page_sel[..., None]),
-        wstart=jnp.asarray(np.asarray(p0s, np.int32)),
+        bucket_map=jnp.asarray(bucket_map),
+        wstart=jnp.asarray(p0s.astype(np.int32)),
+        lo=jnp.asarray(lo.astype(np.int32)),
         shape=(int(nrows), int(ncols)), tile_rows=int(tile_rows),
-        wp=int(wp), s_rows=int(smax), depth=int(dmax),
+        wp=int(wp), depth=int(D), rng_len=int(rng),
     )
 
 
@@ -188,18 +193,30 @@ def pad_x_pages(x: jax.Array, ncols: int, wp: int) -> jax.Array:
 def pgell_matvec_reference(mat: PGELL, x: jax.Array) -> jax.Array:
     """jnp reference implementation (for tests; mirrors the kernel math)."""
     x2d = pad_x_pages(x, mat.shape[1], mat.wp)
-    T, S = mat.vals.shape[0], mat.s_rows
+    S = mat.s_rows
     B = mat.buckets
+    D = mat.depth
+    R = mat.rng_len
 
     def tile(t):
         win = jax.lax.dynamic_slice_in_dim(x2d, mat.wstart[t], mat.wp, 0)
-        onehot_p = (jax.lax.broadcasted_iota(jnp.int32, (S, mat.wp), 1)
-                    == mat.page_sel[t]).astype(x.dtype)
-        g1 = jnp.dot(onehot_p, win.astype(x.dtype),
-                     precision=jax.lax.Precision.HIGHEST)
-        g2 = jnp.take_along_axis(g1, mat.lane_idx[t], axis=1)
+        g1 = jnp.broadcast_to(win[:, None, :].astype(x.dtype),
+                              (mat.wp, D, LANE)).reshape(mat.wp * D, LANE)
+        g1 = jnp.concatenate(
+            [g1, jnp.zeros((S - mat.wp * D, LANE), x.dtype)], axis=0)
+        g2 = jnp.take_along_axis(g1, mat.lane_idx[t].astype(jnp.int32),
+                                 axis=1)
         prod = mat.vals[t].astype(x.dtype) * g2
-        return prod.reshape(B, mat.depth, LANE).sum(axis=1).reshape(-1)
+        bmap = mat.bucket_map[t].astype(jnp.int32)
 
-    y = jax.vmap(tile)(jnp.arange(T)).reshape(-1)
+        def bucket_sum(b):
+            sl = mat.lo[t, b]
+            z = jnp.zeros((), sl.dtype)
+            seg = jax.lax.dynamic_slice(prod, (sl, z), (R, LANE))
+            mseg = jax.lax.dynamic_slice(bmap, (sl, z), (R, LANE))
+            return jnp.where(mseg == b, seg, 0).sum(axis=0)
+
+        return jax.vmap(bucket_sum)(jnp.arange(B)).reshape(-1)
+
+    y = jax.vmap(tile)(jnp.arange(mat.ntiles)).reshape(-1)
     return y[: mat.shape[0]]
