@@ -25,6 +25,7 @@ except AttributeError:  # pragma: no cover
 from ..config import SolverOptions
 from ..precond.cp import CPPrecond, CPState
 from ..solvers.common import eps100
+from .halo import HaloBlock, halo_extend, halo_matvec
 from .partition import PartitionedBlocks
 
 AXIS = "rows"
@@ -55,10 +56,16 @@ class _Carry(NamedTuple):
 
 
 def dist_cpminres(mesh: Mesh, blocks: PartitionedBlocks, M: CPPrecond,
-                  b_sharded: jax.Array, opts: SolverOptions | None = None):
+                  b_sharded: jax.Array, opts: SolverOptions | None = None,
+                  halo_a: HaloBlock | None = None,
+                  halo_c: HaloBlock | None = None):
     """Solve on a mesh; returns (x_sh, y_sh, niters, resid, hist).
 
     ``b_sharded`` is (ndev, n_loc) laid out by ``partition.shard_vector``.
+    When ``halo_a``/``halo_c`` are provided (see halo.plan_halo_block), the
+    A and C matvecs exchange only neighbour edge regions via ppermute
+    instead of all-gathering the operand — the ring/halo pattern of
+    SURVEY.md §2.4, with XLA overlapping the permutes against local work.
     """
     opts = opts or SolverOptions()
     n, m = blocks.n, blocks.m
@@ -88,19 +95,33 @@ def dist_cpminres(mesh: Mesh, blocks: PartitionedBlocks, M: CPPrecond,
         return jax.lax.psum(jnp.dot(a_loc, b_loc), AXIS)
 
     def body_fn(a_data, a_cols, b_data, b_cols, bt_data, bt_cols, c_data,
-                c_cols, M_rep, b_loc):
+                c_cols, ha_data, ha_cols, hc_data, hc_cols, M_rep, b_loc):
         a_data, a_cols = a_data[0], a_cols[0]
         bt_data, bt_cols = bt_data[0], bt_cols[0]
         c_data, c_cols = c_data[0], c_cols[0]
         b_loc = b_loc[0]
 
-        def amv(v_loc):
-            vf = gather_n(v_loc)
-            return (a_data * jnp.take(vf, a_cols, mode="clip")).sum(-1)
+        if halo_a is not None:
+            ha_d, ha_c = ha_data[0], ha_cols[0]
 
-        def cmv(q_loc):
-            qf = gather_m(q_loc)
-            return (c_data * jnp.take(qf, c_cols, mode="clip")).sum(-1)
+            def amv(v_loc):
+                return halo_matvec(ha_d, ha_c,
+                                   halo_extend(v_loc, halo_a.halo, AXIS))
+        else:
+            def amv(v_loc):
+                vf = gather_n(v_loc)
+                return (a_data * jnp.take(vf, a_cols, mode="clip")).sum(-1)
+
+        if halo_c is not None:
+            hc_d, hc_c = hc_data[0], hc_cols[0]
+
+            def cmv(q_loc):
+                return halo_matvec(hc_d, hc_c,
+                                   halo_extend(q_loc, halo_c.halo, AXIS))
+        else:
+            def cmv(q_loc):
+                qf = gather_m(q_loc)
+                return (c_data * jnp.take(qf, c_cols, mode="clip")).sum(-1)
 
         def m_apply(mstate, un_loc, tm_loc):
             """Preconditioner on the (gathered) full pair; replicated solve."""
@@ -189,9 +210,17 @@ def dist_cpminres(mesh: Mesh, blocks: PartitionedBlocks, M: CPPrecond,
         out = jax.lax.while_loop(cond, body, carry)
         return (out.x[None], out.y[None], out.k, out.resid, out.hist)
 
-    spec_blocks = jax.tree_util.tree_map(lambda _: P(AXIS), (
-        blocks.a_data, blocks.a_cols, blocks.b_data, blocks.b_cols,
-        blocks.bt_data, blocks.bt_cols, blocks.c_data, blocks.c_cols))
+    zeros = jnp.zeros((ndev, 1, 1), dtype)
+    izeros = jnp.zeros((ndev, 1, 1), jnp.int32)
+    ha_data = halo_a.data if halo_a is not None else zeros
+    ha_cols = halo_a.cols if halo_a is not None else izeros
+    hc_data = halo_c.data if halo_c is not None else zeros
+    hc_cols = halo_c.cols if halo_c is not None else izeros
+
+    operands = (blocks.a_data, blocks.a_cols, blocks.b_data, blocks.b_cols,
+                blocks.bt_data, blocks.bt_cols, blocks.c_data,
+                blocks.c_cols, ha_data, ha_cols, hc_data, hc_cols)
+    spec_blocks = jax.tree_util.tree_map(lambda _: P(AXIS), operands)
     spec_M = jax.tree_util.tree_map(lambda _: P(), M)
 
     mapped = shard_map(
@@ -200,6 +229,4 @@ def dist_cpminres(mesh: Mesh, blocks: PartitionedBlocks, M: CPPrecond,
         out_specs=(P(AXIS), P(AXIS), P(), P(), P()),
         check_vma=False,
     )
-    return mapped(blocks.a_data, blocks.a_cols, blocks.b_data, blocks.b_cols,
-                  blocks.bt_data, blocks.bt_cols, blocks.c_data,
-                  blocks.c_cols, M, b_sharded)
+    return mapped(*operands, M, b_sharded)

@@ -56,3 +56,55 @@ def test_dryrun_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_halo_spmv_matches_allgather(ndev):
+    from cpkrylov_tpu.parallel import dist_cpminres, plan_halo_block
+    from cpkrylov_tpu.precond.cp import make_preconditioner
+    import scipy.sparse as sp
+
+    # banded system so the halo stays narrow
+    rng_ = np.random.default_rng(4)
+    n, m = 128, 64
+    diags = [rng_.standard_normal(n) for _ in range(3)]
+    A = sp.diags([np.abs(diags[0]) + 4, diags[1][:-1], diags[1][:-1],
+                  diags[2][:-3], diags[2][:-3]],
+                 [0, 1, -1, 3, -3]).tocsr()
+    B = sp.diags([np.ones(m), 0.5 * np.ones(m)], [0, 2],
+                 shape=(m, n)).tocsr()
+    C = sp.identity(m).tocsr() * 1e-2
+    G = sp.diags(A.diagonal()).tocsr()
+    K = sp.bmat([[A, B.T], [B, -C]], format="csr")
+    b = rng_.standard_normal(n + m)
+
+    devices = jax.devices()[:ndev]
+    mesh = Mesh(np.array(devices), ("rows",))
+    M = make_preconditioner(G, B, C, panel=16)
+    blocks = partition_blocks(A, B, C, ndev)
+    b_sh = shard_vector(b[:n].copy(), ndev, blocks.n_loc)
+    opts = SolverOptions(atol=1e-10, rtol=1e-10, itmax=150)
+
+    halo_a = plan_halo_block(A, ndev, blocks.n_loc, blocks.n_loc)
+    halo_c = plan_halo_block(C, ndev, blocks.m_loc, blocks.m_loc)
+    assert halo_a.halo <= 3 and halo_c.halo == 0
+
+    xg, yg, kg, rg, _ = dist_cpminres(mesh, blocks, M, b_sh, opts)
+    xh, yh, kh, rh, _ = dist_cpminres(mesh, blocks, M, b_sh, opts,
+                                      halo_a=halo_a, halo_c=halo_c)
+    np.testing.assert_allclose(np.asarray(xh), np.asarray(xg),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(yh), np.asarray(yg),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_halo_plan_rejects_wide_reach():
+    import scipy.sparse as sp
+    from cpkrylov_tpu.parallel import plan_halo_block
+
+    # a dense row reaches across all chunks
+    A = sp.lil_matrix((64, 64))
+    A[0, :] = 1.0
+    A = A.tocsr()
+    with pytest.raises(ValueError, match="halo width"):
+        plan_halo_block(A, 4, 16, 16, max_halo=8)
