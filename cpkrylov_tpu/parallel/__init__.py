@@ -1,3 +1,4 @@
 from .partition import PartitionedBlocks, partition_blocks, shard_vector, unshard_vector
 from .cpminres import dist_cpminres
 from .halo import HaloBlock, plan_halo_block, halo_extend, halo_matvec
+from .solve import dist_solve

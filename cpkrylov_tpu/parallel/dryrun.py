@@ -41,3 +41,13 @@ def run_dryrun(n_devices: int) -> None:
     x = np.asarray(unshard_vector(x_sh, sys_.n))
     assert np.isfinite(x).all(), "distributed solve produced non-finite x"
     assert int(k) >= 1, "distributed solve did not iterate"
+
+    # generic family path: any serial kernel under shard_map (solve.py);
+    # exercise the Arnoldi side with a tiny restarted GMRES.
+    from .solve import dist_solve
+
+    res, x1, x2 = dist_solve(
+        mesh, "cpgmres", sys_.b, sys_.A, sys_.B, sys_.C, sys_.G,
+        opts=SolverOptions(itmax=8, restart=4), panel=8, dtype=dtype)
+    assert np.isfinite(np.asarray(x1)).all()
+    assert int(res.niters) >= 1

@@ -98,6 +98,54 @@ def test_halo_spmv_matches_allgather(ndev):
                                rtol=1e-8, atol=1e-10)
 
 
+ALL_KERNELS = ["cpminres", "cpcg", "cpcglanczos", "cpsymmlq", "cpgmres",
+               "cpdqgmres"]
+
+
+@pytest.mark.parametrize("method", ALL_KERNELS)
+def test_dist_solve_family_matches_serial(method):
+    """Generic shard_map adapter: every kernel, sharded matrices, 8 devices.
+
+    The random rhs has b2 != 0, so the driver's RHS-shift path
+    (reg_cpkrylov.m:152-160) runs inside the shard_map region too.
+    """
+    from cpkrylov_tpu.parallel.solve import dist_solve
+
+    sys_ = random_sqd_system(96, 40, seed=17, delta=1e-2)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rows",))
+    opts = SolverOptions(atol=1e-6, rtol=1e-6, itmax=200, restart=30, mem=20)
+
+    res, x1, x2 = dist_solve(mesh, method, sys_.b, sys_.A, sys_.B, sys_.C,
+                             sys_.G, opts=opts, panel=16)
+    out = solve(method, sys_.b, sys_.A, sys_.B, sys_.C, sys_.G, opts=opts,
+                panel=16)
+    assert bool(res.solved) and out.solved
+    assert int(res.niters) == out.niters
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(out.x1),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(out.x2),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_dist_solve_nonsymmetric_gmres():
+    """Nonsymmetric A through the distributed Arnoldi path."""
+    import scipy.sparse.linalg as spla
+
+    from cpkrylov_tpu.parallel.solve import dist_solve
+
+    sys_ = random_sqd_system(80, 32, seed=3, delta=1e-2, nonsymmetric=True)
+    xref = spla.spsolve(sys_.K.tocsc(), sys_.b)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+    opts = SolverOptions(atol=1e-8, rtol=1e-8, itmax=300, restart=40)
+
+    res, x1, x2 = dist_solve(mesh, "cpgmres", sys_.b, sys_.A, sys_.B,
+                             sys_.C, sys_.G, opts=opts, panel=16)
+    xfull = np.concatenate([np.asarray(x1), np.asarray(x2)])
+    err = np.linalg.norm(xfull - xref) / np.linalg.norm(xref)
+    assert bool(res.solved)
+    assert err < 1e-6, err
+
+
 def test_halo_plan_rejects_wide_reach():
     import scipy.sparse as sp
     from cpkrylov_tpu.parallel import plan_halo_block
