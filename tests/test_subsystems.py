@@ -137,3 +137,33 @@ def test_operator_only_A_with_itref():
     x_ref = spla.spsolve(s.K.tocsc(), s.b)
     rel = np.linalg.norm(np.asarray(out.x) - x_ref) / np.linalg.norm(x_ref)
     assert out.solved and rel < 1e-2, (bool(out.solved), rel)
+
+
+def test_profile_solve_reports_throughput():
+    """Profiling subsystem (SURVEY.md §5): compile-excluded timing + nnz/s."""
+    from cpkrylov_tpu.utils.profiling import profile_solve
+
+    s = ipm_kkt_system(n=150, m=60, mu=1e-2, seed=0)
+    prof = profile_solve("cpminres", s.b, s.A, s.B, s.C, s.G, repeats=2,
+                         opts=SolverOptions(atol=1e-6, rtol=1e-6, itmax=400))
+    assert prof.solved
+    assert prof.niters > 0
+    assert prof.stime > 0 and prof.stime <= prof.compile_time
+    assert prof.nnz_per_s > 0
+    assert prof.work.nnz_per_iter >= prof.work.nnz_a + prof.work.nnz_c
+    assert "nnz/s" in prof.summary()
+
+
+def test_profiler_trace_writes_events(tmp_path):
+    """jax.profiler trace context produces a trace directory."""
+    import jax.numpy as jnp
+
+    from cpkrylov_tpu.utils.profiling import trace
+
+    logdir = str(tmp_path / "trace")
+    with trace(logdir):
+        jnp.ones(128).sum().block_until_ready()
+    import os
+
+    found = [f for _, _, fs in os.walk(logdir) for f in fs]
+    assert found, "no trace events written"
