@@ -155,6 +155,27 @@ class CPPrecond:
         state, y, rnorm = self.apply(state, jnp.concatenate([zn, zm]))
         return state, y[: self.n], y[self.n:], rnorm
 
+    # -- opLDL2 API parity --------------------------------------------------
+    def mul_kp(self, z: jax.Array) -> jax.Array:
+        """Multiply by K_P itself — the reference's ``divide`` mode, i.e.
+        ``M \\ z`` undoing a preconditioner application (opLDL2.m:193-195)."""
+        return csr_matvec(self.kp, z)
+
+    def to_dense_inverse(self) -> jax.Array:
+        """Materialize K_P^{-1} column by column — the reference's
+        ``double()`` (opLDL2.m:138-149).  For diagnostics on small systems;
+        O(N) direct solves, vmapped on device."""
+        N = self.n + self.m
+        eye = jnp.eye(N, dtype=self.kp.dtype)
+        return jax.vmap(self._direct_solve, in_axes=1, out_axes=1)(eye)
+
+    def transpose(self) -> "CPPrecond":
+        """K_P is symmetric, so the operator equals its transpose
+        (opLDL2.m:120-136 define transpose/conj/ctranspose as self-maps)."""
+        return self
+
+    T = property(transpose)
+
 
 # ---------------------------------------------------------------------------
 # Host-side construction

@@ -152,3 +152,32 @@ def test_apply_matches_opldl2_oracle(rng, popts):
                                          state_ref, z)
         np.testing.assert_allclose(np.asarray(y_dev), y_ref, rtol=1e-9,
                                    atol=1e-10, err_msg=f"application {i}")
+
+
+def test_opldl2_api_parity_extras():
+    """divide / double() / transpose equivalents (opLDL2.m:120-195)."""
+    import jax.numpy as jnp
+
+    from cpkrylov_tpu.utils.fixtures import random_sqd_system
+
+    s = random_sqd_system(48, 16, seed=5, delta=1e-2)
+    M = make_preconditioner(s.G, s.B, s.C, panel=16)
+    N = s.n + s.m
+    rng_ = np.random.default_rng(0)
+    z = jnp.asarray(rng_.standard_normal(N))
+
+    # divide: mul_kp(apply(z)) == z  (solve then multiply round-trips)
+    st = M.init_state(z.dtype)
+    _, y, _ = M.apply(st, z)
+    np.testing.assert_allclose(np.asarray(M.mul_kp(y)), np.asarray(z),
+                               rtol=1e-8, atol=1e-9)
+
+    # double(): dense inverse times K_P is the identity
+    inv = np.asarray(M.to_dense_inverse())
+    import scipy.sparse as sp
+
+    KP = sp.bmat([[s.G, s.B.T], [s.B, -s.C]]).toarray()
+    np.testing.assert_allclose(inv @ KP, np.eye(N), atol=1e-7)
+
+    # transpose: symmetric operator is its own transpose
+    assert M.T is M and M.transpose() is M
