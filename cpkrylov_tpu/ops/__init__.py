@@ -1,2 +1,5 @@
-from .formats import CSR, ELL, Diagonal, csr_from_scipy, ell_from_scipy, csr_to_scipy
-from .spmv import csr_matvec, csr_rmatvec, ell_matvec, diag_matvec, matvec
+from .formats import (BSR, CSR, ELL, Diagonal, bsr_from_scipy,
+                      csr_from_scipy, csr_to_scipy, ell_from_scipy)
+from .spmv import (bsr_matmat, bsr_matvec, csr_matmat, csr_matvec,
+                   csr_rmatvec, diag_matvec, ell_matmat, ell_matvec, matmat,
+                   matvec)

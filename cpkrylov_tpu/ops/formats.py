@@ -87,6 +87,36 @@ class ELL:
         return dataclasses.replace(self, data=self.data.astype(dtype))
 
 
+@partial(_register, data_fields=("data", "block_cols", "block_rows"),
+         meta_fields=("shape", "blocksize"))
+@dataclasses.dataclass(frozen=True)
+class BSR:
+    """Block sparse row: dense (bs, bs) blocks at sparse block positions.
+
+    The MXU-native layout — each stored block is a small dense matrix, so
+    SpMV/SpMM contract on the systolic array via a batched einsum instead of
+    scalar gathers.  Zero-padding blocks (``data == 0`` pointing at block
+    row/col 0) contribute nothing.
+    """
+
+    data: jax.Array         # (nblocks, bs, bs)
+    block_cols: jax.Array   # (nblocks,) int32 block-column ids (sorted by row)
+    block_rows: jax.Array   # (nblocks,) int32 block-row ids, ascending
+    shape: Tuple[int, int]  # padded element shape (multiples of bs)
+    blocksize: int
+
+    @property
+    def nnz(self) -> int:
+        return int(np.prod(self.data.shape))
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def astype(self, dtype) -> "BSR":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
+
 @partial(_register, data_fields=("diag",), meta_fields=())
 @dataclasses.dataclass(frozen=True)
 class Diagonal:
@@ -172,6 +202,41 @@ def ell_from_scipy(mat, dtype=None, row_width: int | None = None,
         cols[rows, offs] = sm.indices
     return ELL(data=jnp.asarray(data), cols=jnp.asarray(cols),
                shape=(int(nrows), int(ncols)))
+
+
+def bsr_from_scipy(mat, blocksize: int = 8, dtype=None) -> BSR:
+    """Build a device ``BSR`` from a scipy sparse / dense matrix.
+
+    The element shape is padded up to multiples of ``blocksize``; scipy's
+    own BSR conversion finds the occupied blocks.
+    """
+    import scipy.sparse as sp
+
+    sm = _to_scipy_csr(mat)
+    nrows, ncols = sm.shape
+    bs = int(blocksize)
+    rpad = -(-nrows // bs) * bs
+    cpad = -(-ncols // bs) * bs
+    if rpad != nrows or cpad != ncols:
+        sm = sp.csr_matrix((sm.data, sm.indices, sm.indptr),
+                           shape=(nrows, ncols))
+        sm.resize((rpad, cpad))
+    sb = sm.tobsr(blocksize=(bs, bs))
+    sb.sum_duplicates()
+    data = np.asarray(sb.data)
+    if dtype is not None:
+        data = data.astype(dtype)
+    nb = data.shape[0]
+    block_rows = np.repeat(np.arange(rpad // bs, dtype=np.int32),
+                           np.diff(sb.indptr))
+    block_cols = np.asarray(sb.indices, dtype=np.int32)
+    if nb == 0:  # keep static shapes: one explicit zero block
+        data = np.zeros((1, bs, bs), dtype=dtype or sm.data.dtype)
+        block_rows = np.zeros(1, dtype=np.int32)
+        block_cols = np.zeros(1, dtype=np.int32)
+    return BSR(data=jnp.asarray(data), block_cols=jnp.asarray(block_cols),
+               block_rows=jnp.asarray(block_rows),
+               shape=(int(rpad), int(cpad)), blocksize=bs)
 
 
 def csr_to_scipy(mat: CSR):

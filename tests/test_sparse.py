@@ -1,4 +1,5 @@
 """Unit tests: sparse containers and matvecs against scipy oracles."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -67,3 +68,52 @@ def test_pytree_flatten():
     leaves, treedef = jax.tree_util.tree_flatten(dev)
     dev2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert dev2.shape == dev.shape
+
+
+def test_bsr_matvec_matches_scipy():
+    import scipy.sparse as sp
+
+    from cpkrylov_tpu.ops.formats import bsr_from_scipy
+    from cpkrylov_tpu.ops.spmv import bsr_matvec
+
+    rng_ = np.random.default_rng(11)
+    A = sp.random(100, 90, density=0.08, random_state=rng_, format="csr")
+    for bs in (4, 8):
+        mat = bsr_from_scipy(A, blocksize=bs)
+        x = rng_.standard_normal(90)
+        xp = np.zeros(mat.shape[1]); xp[:90] = x
+        y = np.asarray(bsr_matvec(mat, jnp.asarray(xp)))
+        np.testing.assert_allclose(y[:100], A @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_spmm_all_formats_match_scipy():
+    import scipy.sparse as sp
+
+    from cpkrylov_tpu.ops.formats import (bsr_from_scipy, csr_from_scipy,
+                                          ell_from_scipy)
+    from cpkrylov_tpu.ops.spmv import matmat
+
+    rng_ = np.random.default_rng(12)
+    A = sp.random(64, 48, density=0.1, random_state=rng_, format="csr")
+    X = rng_.standard_normal((48, 7))
+    want = A @ X
+    got_csr = np.asarray(matmat(csr_from_scipy(A), jnp.asarray(X)))
+    got_ell = np.asarray(matmat(ell_from_scipy(A), jnp.asarray(X)))
+    np.testing.assert_allclose(got_csr, want, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(got_ell, want, rtol=1e-12, atol=1e-12)
+    bsr = bsr_from_scipy(A, blocksize=8)
+    Xp = np.zeros((bsr.shape[1], 7)); Xp[:48] = X
+    got_bsr = np.asarray(matmat(bsr, jnp.asarray(Xp)))
+    np.testing.assert_allclose(got_bsr[:64], want, rtol=1e-12, atol=1e-12)
+
+
+def test_bsr_empty_matrix():
+    import scipy.sparse as sp
+
+    from cpkrylov_tpu.ops.formats import bsr_from_scipy
+    from cpkrylov_tpu.ops.spmv import bsr_matvec
+
+    A = sp.csr_matrix((16, 16))
+    mat = bsr_from_scipy(A, blocksize=8)
+    y = np.asarray(bsr_matvec(mat, jnp.ones(16)))
+    np.testing.assert_array_equal(y, 0.0)
