@@ -1,4 +1,6 @@
 from .partition import PartitionedBlocks, partition_blocks, shard_vector, unshard_vector
 from .cpminres import dist_cpminres
 from .halo import HaloBlock, plan_halo_block, halo_extend, halo_matvec
-from .solve import dist_solve
+from .solve import dist_solve, precond_spec
+from .schur import SchurFactor, plan_schur_precond
+from . import bootstrap

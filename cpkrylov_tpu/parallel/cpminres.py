@@ -221,7 +221,8 @@ def dist_cpminres(mesh: Mesh, blocks: PartitionedBlocks, M: CPPrecond,
                 blocks.bt_data, blocks.bt_cols, blocks.c_data,
                 blocks.c_cols, ha_data, ha_cols, hc_data, hc_cols)
     spec_blocks = jax.tree_util.tree_map(lambda _: P(AXIS), operands)
-    spec_M = jax.tree_util.tree_map(lambda _: P(), M)
+    from .solve import precond_spec
+    spec_M = precond_spec(M)
 
     mapped = shard_map(
         body_fn, mesh=mesh,

@@ -44,6 +44,20 @@ from .partition import PartitionedBlocks, partition_blocks
 AXIS = "rows"
 
 
+def precond_spec(M: CPPrecond):
+    """PartitionSpec pytree for a CPPrecond operand: replicated, except a
+    distributed factor (e.g. schur.SchurFactor) contributes its own specs."""
+    import dataclasses
+
+    if hasattr(M.factor, "partition_spec"):
+        factor_spec = M.factor.partition_spec()
+    else:
+        factor_spec = jax.tree_util.tree_map(lambda _: P(), M.factor)
+    return dataclasses.replace(
+        M, factor=factor_spec,
+        kp=jax.tree_util.tree_map(lambda _: P(), M.kp))
+
+
 def _gathered_matvec(data, cols, out_size, axis=AXIS):
     """Local ELL rows (global column ids) -> all-gathered full result."""
 
@@ -129,7 +143,7 @@ def dist_solve(mesh: Mesh, method: str, b, A, B, C, G, *,
     operands = (blocks.a_data, blocks.a_cols, blocks.b_data, blocks.b_cols,
                 blocks.bt_data, blocks.bt_cols, blocks.c_data, blocks.c_cols)
     spec_blocks = jax.tree_util.tree_map(lambda _: P(AXIS), operands)
-    spec_M = jax.tree_util.tree_map(lambda _: P(), M)
+    spec_M = precond_spec(M)
 
     mapped = shard_map(
         body, mesh=mesh,

@@ -191,6 +191,35 @@ def assemble_kp(G, B, C):
     return sp.bmat([[G, B.T], [B, -C]], format="csc")
 
 
+def build_factor_apply(fac, N: int, panel: int, dtype) -> FactorApply:
+    """Pack a host factorization (HostLDL or HostLU) into a device
+    ``FactorApply`` of blocked triangular solves."""
+    import scipy.sparse as sp
+
+    if isinstance(fac, ldl_host.HostLDL):
+        L1 = (fac.L + sp.identity(N, format="csc")).tocsr()
+        tf1 = build_block_tri(L1, panel=panel, dtype=dtype)
+        tf2 = build_block_tri_upper((fac.L + sp.identity(N)).T.tocsr(),
+                                    panel=panel, dtype=dtype)
+        return FactorApply(
+            perm_in=jnp.asarray(fac.perm, dtype=jnp.int32),
+            tf1=tf1,
+            dinv=jnp.asarray((1.0 / fac.d).astype(dtype)),
+            tf2=tf2,
+            perm_out=jnp.asarray(fac.perm, dtype=jnp.int32),
+        )
+    # HostLU from splu
+    tf1 = build_block_tri(fac.L.tocsr(), panel=panel, dtype=dtype)
+    tf2 = build_block_tri_upper(fac.U.tocsr(), panel=panel, dtype=dtype)
+    return FactorApply(
+        perm_in=jnp.asarray(fac.row_perm, dtype=jnp.int32),
+        tf1=tf1,
+        dinv=jnp.ones(N, dtype=dtype),
+        tf2=tf2,
+        perm_out=jnp.asarray(fac.col_scatter, dtype=jnp.int32),
+    )
+
+
 def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
                         backend: str = "auto", ordering: str = "rcm",
                         panel: int = 256, reg_value: float = 1e-10,
@@ -202,8 +231,6 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
     (/root/reference/reg_cpkrylov.m:131): assemble K_P once, factorize once,
     reuse for every application.
     """
-    import scipy.sparse as sp
-
     options = options or PrecondOptions()
     n = G.shape[0]
     m = C.shape[0]
@@ -212,30 +239,7 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
     signs = np.concatenate([np.ones(n), -np.ones(m)])
     fac = ldl_host.factorize(ksp, method=backend, ordering=ordering,
                              pivot_signs=signs, reg_value=reg_value)
-
-    if isinstance(fac, ldl_host.HostLDL):
-        L1 = (fac.L + sp.identity(n + m, format="csc")).tocsr()
-        tf1 = build_block_tri(L1, panel=panel, dtype=dtype)
-        tf2 = build_block_tri_upper((fac.L + sp.identity(n + m)).T.tocsr(),
-                                    panel=panel, dtype=dtype)
-        rev = np.arange(n + m - 1, -1, -1)
-        factor = FactorApply(
-            perm_in=jnp.asarray(fac.perm, dtype=jnp.int32),
-            tf1=tf1,
-            dinv=jnp.asarray((1.0 / fac.d).astype(dtype)),
-            tf2=tf2,
-            perm_out=jnp.asarray(fac.perm, dtype=jnp.int32),
-        )
-    else:  # HostLU from splu
-        tf1 = build_block_tri(fac.L.tocsr(), panel=panel, dtype=dtype)
-        tf2 = build_block_tri_upper(fac.U.tocsr(), panel=panel, dtype=dtype)
-        factor = FactorApply(
-            perm_in=jnp.asarray(fac.row_perm, dtype=jnp.int32),
-            tf1=tf1,
-            dinv=jnp.ones(n + m, dtype=dtype),
-            tf2=tf2,
-            perm_out=jnp.asarray(fac.col_scatter, dtype=jnp.int32),
-        )
+    factor = build_factor_apply(fac, n + m, panel, dtype)
 
     if factor_nitref is None:
         # LDL without dynamic pivoting needs one refinement step to reach

@@ -129,6 +129,48 @@ def random_sqd_system(n: int, m: int, *, density: float = 0.05,
                         G=G, b=b, K=K)
 
 
+def banded_saddle_system(n: int, m: int, *, bandwidth: int = 3,
+                         delta: float = 1e-4, seed: int = 0,
+                         with_oracle: bool = True,
+                         g_mode: str = "diag") -> SaddleSystem:
+    """Large banded regularized saddle-point system (weak-scaling workload).
+
+    Built entirely from ``sp.diags`` so construction stays O(n * bandwidth)
+    in memory — usable at 10M+ rows (BASELINE.json configs[4]).  A is SPD
+    banded, B a banded (m, n) block with unit main diagonal (full row rank),
+    C = delta*I.  The narrow band keeps the halo-exchange width small, so
+    the distributed SpMV path runs in its ppermute (not all-gather) regime.
+
+    ``with_oracle=False`` skips assembling K (the (n+m)^2 oracle matrix) —
+    required at very large n where even the sparse K is unnecessary cost.
+    """
+    rng = np.random.default_rng(seed)
+    main = 4.0 + rng.random(n)
+    a_diags = [main]
+    a_offsets = [0]
+    for off in range(1, bandwidth + 1):
+        band = 0.5 * rng.standard_normal(n - off) / off
+        a_diags += [band, band]
+        a_offsets += [off, -off]
+    A = sp.diags(a_diags, a_offsets, shape=(n, n), format="csr")
+    b_band = 0.25 * rng.standard_normal(min(m, n - 1))
+    B = sp.diags([np.ones(m), b_band], [0, 1], shape=(m, n), format="csr")
+    C = sp.diags(np.full(m, delta)).tocsr()
+    if g_mode == "diag":          # Jacobi block, as the reference examples
+        G = sp.diags(A.diagonal()).tocsr()
+    elif g_mode == "banded":      # tridiagonal part of sym(A): banded K_P,
+        Asym = 0.5 * (A + A.T)    # the Schur-separator stress case
+        G = sp.diags([Asym.diagonal(), Asym.diagonal(1), Asym.diagonal(1)],
+                     [0, 1, -1]).tocsr()
+    else:
+        raise ValueError(f"unknown g_mode {g_mode!r}")
+    K = (sp.bmat([[A, B.T], [B, -C]], format="csr") if with_oracle
+         else sp.csr_matrix((1, 1)))
+    b = rng.standard_normal(n + m)
+    return SaddleSystem(name=f"banded_{n}x{m}_bw{bandwidth}", A=A, B=B, C=C,
+                        G=G, b=b, K=K)
+
+
 def ipm_kkt_system(n: int, m: int, *, mu: float = 1e-4, rho: float = 1e-6,
                    delta: float = 1e-6, density: float = 0.01,
                    seed: int = 0) -> SaddleSystem:
