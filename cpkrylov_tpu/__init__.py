@@ -17,6 +17,7 @@ refinement threaded as explicit functional state, and solvers as
 
 from .config import PrecondOptions, SolverOptions
 from .driver import SolveOutput, solve
+from .mixed import MixedSolveOutput, solve_mixed
 from .operators.linop import (FunctionOperator, MatrixOperator,
                               aslinearoperator)
 from .ops.formats import CSR, ELL, Diagonal, csr_from_scipy, ell_from_scipy
@@ -30,6 +31,7 @@ __all__ = [
     "PrecondOptions", "SolverOptions",
     "CPPrecond", "CPState", "make_preconditioner",
     "KrylovResult", "SolveOutput", "solve",
+    "MixedSolveOutput", "solve_mixed",
     "cpminres",
 ]
 

@@ -46,3 +46,7 @@ class SolverOptions:
     restart: int = 50        # cpgmres restart length
     mem: int = 50            # cpdqgmres memory
     verbose: bool = False    # per-iteration debug printing (reference: print)
+    stagwin: int = 0         # stop after this many iters without >=10%
+                             # improvement of the best residual (0 = off;
+                             # no reference equivalent — used by the f32
+                             # inner solves of solve_mixed)

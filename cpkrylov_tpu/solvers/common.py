@@ -24,6 +24,7 @@ STATUS_ITMAX = 1           # maximum number of iterations attained
 STATUS_INDEFINITE = 2      # beta^2 < -100*eps: preconditioner not SPD-like
 STATUS_BACKWARD = 3        # backward error small (cpcglanczos btol)
 STATUS_BREAKDOWN = 4       # coupled inner product lost positivity
+STATUS_STAGNATED = 5       # no meaningful progress for opts.stagwin iters
 
 STATUS_STRINGS = {
     STATUS_SOLVED: "residual small compared to initial residual",
@@ -31,6 +32,7 @@ STATUS_STRINGS = {
     STATUS_INDEFINITE: "preconditioner not second-order sufficient",
     STATUS_BACKWARD: "backward error small",
     STATUS_BREAKDOWN: "basis breakdown (coupled inner product nonpositive)",
+    STATUS_STAGNATED: "residual stagnated (opts.stagwin exceeded)",
 }
 
 
@@ -184,6 +186,36 @@ def initial_lanczos_pair(b, m, M, mstate, e100):
     beta = jnp.sqrt(jnp.abs(beta0))
     vkp1, qkp1 = safe_normalize_pair(vkp1, qkp1, beta)
     return mstate, vkp1, qkp1, beta, indefinite
+
+
+def stag_init(resid0, dtype):
+    """State for the opt-in stagnation window (opts.stagwin): (best residual
+    seen, iterations since the last >=10% improvement on it).
+
+    Finite-precision Krylov residual *estimates* (e.g. MINRES' taubar,
+    cpminres.m:235) keep creeping down long after the attainable accuracy is
+    reached — in f32 the true residual floors near ~1e-4 relative while the
+    estimate still shrinks.  The window bounds the wasted iterations; it is
+    OFF by default (stagwin=0) so reference-parity f64 runs are untouched.
+    """
+    return jnp.asarray(resid0, dtype), jnp.zeros((), jnp.int32)
+
+
+def stag_update(best, since, resid):
+    """Advance the (best, since) stagnation pair with this iteration's
+    residual; >=10% improvement over the best resets the counter."""
+    better = resid < 0.9 * best
+    best = jnp.minimum(resid, best)
+    since = jnp.where(better, 0, since + 1).astype(jnp.int32)
+    return best, since
+
+
+def stag_stop(since, stagwin: int):
+    """True when the window is enabled and exhausted (traceable; stagwin is
+    a static option)."""
+    if stagwin <= 0:
+        return jnp.asarray(False)
+    return since >= stagwin
 
 
 def manifold_ok(B_op, C_op, x, y, stop_tol=0.0):

@@ -15,8 +15,9 @@ import jax.numpy as jnp
 from ..config import SolverOptions
 from ..precond.cp import CPPrecond, CPState
 from .common import (KrylovResult, STATUS_BREAKDOWN, STATUS_ITMAX,
-                     STATUS_SOLVED, apply_manifold_veto, history_init,
-                     resolve_itmax, resolve_operators)
+                     STATUS_SOLVED, STATUS_STAGNATED, apply_manifold_veto,
+                     history_init, resolve_itmax, resolve_operators,
+                     stag_init, stag_stop, stag_update)
 
 
 class _Carry(NamedTuple):
@@ -35,6 +36,8 @@ class _Carry(NamedTuple):
     q: jax.Array
     resid2: jax.Array
     resid: jax.Array
+    stag_best: jax.Array
+    stag_since: jax.Array
     hist: jax.Array
     mstate: CPState
 
@@ -70,15 +73,18 @@ def cpcg(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
     resid = jnp.sqrt(jnp.maximum(resid2, 0.0))
     stop_tol = opts.atol + opts.rtol * resid
     hist = history_init(itmax, resid, dtype)
+    stag_best0, stag_since0 = stag_init(resid, dtype)
 
     carry = _Carry(itn=jnp.zeros((), jnp.int32),
                    breakdown=jnp.zeros((), jnp.bool_), x=zeron, a=zerom,
                    best_x=zeron, best_a=zerom, best_resid=resid,
                    g=g, w=w, r=r, u=u, p=p, q=q, resid2=resid2, resid=resid,
-                   hist=hist, mstate=mstate)
+                   hist=hist, mstate=mstate,
+                   stag_best=stag_best0, stag_since=stag_since0)
 
     def cond(c: _Carry):
-        return (c.resid > stop_tol) & (c.itn < itmax) & (~c.breakdown)
+        return ((c.resid > stop_tol) & (c.itn < itmax) & (~c.breakdown)
+                & ~stag_stop(c.stag_since, opts.stagwin))
 
     def body(c: _Carry) -> _Carry:
         itn = c.itn + 1
@@ -118,11 +124,13 @@ def cpcg(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         # order sufficiency broken; reference divides anyway): roll back.
         break_dir = resid2_new < 0
         break_curv = curv <= 0
+        stag_best, stag_since = stag_update(c.stag_best, c.stag_since, resid)
         advanced = _Carry(itn=itn, breakdown=break_dir, x=x,
                           a=a, best_x=best_x, best_a=best_a,
                           best_resid=best_resid, g=g, w=w, r=r, u=u, p=p, q=q,
                           resid2=resid2_new, resid=resid, hist=hist,
-                          mstate=mstate)
+                          mstate=mstate,
+                          stag_best=stag_best, stag_since=stag_since)
         kept = c._replace(breakdown=break_curv, mstate=mstate)
         return jax.tree_util.tree_map(
             lambda a_, b_: jnp.where(break_curv, a_, b_), kept, advanced)
@@ -147,7 +155,9 @@ def cpcg(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
     solved = resid_out <= stop_tol
     istatus = jnp.where(
         out.breakdown & ~solved, STATUS_BREAKDOWN,
-        jnp.where(solved, STATUS_SOLVED, STATUS_ITMAX)).astype(jnp.int32)
+        jnp.where(solved, STATUS_SOLVED,
+                  jnp.where(stag_stop(out.stag_since, opts.stagwin),
+                            STATUS_STAGNATED, STATUS_ITMAX))).astype(jnp.int32)
     solved, istatus = apply_manifold_veto(solved, istatus, B, C, x_out, a_out,
                                           stop_tol)
     return KrylovResult(x=x_out, y=a_out, niters=out.itn,

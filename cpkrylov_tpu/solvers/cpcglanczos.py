@@ -17,9 +17,10 @@ import jax.numpy as jnp
 from ..config import SolverOptions
 from ..precond.cp import CPPrecond, CPState
 from .common import (KrylovResult, STATUS_BACKWARD, STATUS_INDEFINITE,
-                     STATUS_ITMAX, STATUS_SOLVED, apply_manifold_veto,
-                     eps100, history_init, initial_lanczos_pair,
-                     lanczos_step, resolve_itmax, resolve_operators)
+                     STATUS_ITMAX, STATUS_SOLVED, STATUS_STAGNATED,
+                     apply_manifold_veto, eps100, history_init,
+                     initial_lanczos_pair, lanczos_step, resolve_itmax,
+                     resolve_operators, stag_init, stag_stop, stag_update)
 
 
 class _Carry(NamedTuple):
@@ -51,6 +52,8 @@ class _Carry(NamedTuple):
     hist: jax.Array
     mstate: CPState
     indefinite: jax.Array
+    stag_best: jax.Array
+    stag_since: jax.Array
 
 
 def cpcglanczos(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
@@ -79,6 +82,7 @@ def cpcglanczos(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
     stop_tol = opts.atol + opts.rtol * resid0      # cpcglanczos.m:195
     bstop_tol = btol * beta1                       # cpcglanczos.m:198
     hist = history_init(itmax, resid0, dtype)
+    stag_best0, stag_since0 = stag_init(resid0, dtype)
 
     carry = _Carry(
         k=jnp.zeros((), jnp.int32), x=zeron, y=zerom,
@@ -91,11 +95,13 @@ def cpcglanczos(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         tau=zero, delta=zero,
         resid=resid0, bstop_tol=jnp.asarray(bstop_tol, dtype), hist=hist,
         mstate=mstate, indefinite=indefinite0,
+        stag_best=stag_best0, stag_since=stag_since0,
     )
 
     def cond(c: _Carry):
         return ((c.resid > stop_tol) & (c.resid > c.bstop_tol)
-                & (c.k < itmax) & (~c.indefinite))
+                & (c.k < itmax) & (~c.indefinite)
+                & ~stag_stop(c.stag_since, opts.stagwin))
 
     def body(c: _Carry) -> _Carry:
         k = c.k + 1
@@ -166,6 +172,7 @@ def cpcglanczos(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         if opts.verbose:
             jax.debug.print("{k:5d}  {r:9.2e}", k=k, r=resid)
 
+        stag_best, stag_since = stag_update(c.stag_best, c.stag_since, resid)
         advanced = _Carry(k=k, x=x, y=y, best_x=best_x, best_y=best_y,
                           best_resid=best_resid, vk=vk, qk=qk, vkp1=vkp1,
                           qkp1=qkp1, beta=beta, oldbeta=beta, dg=dg,
@@ -173,7 +180,8 @@ def cpcglanczos(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
                           rhobar=rhobar, xxnorm2=xxnorm2, xnorm=xnorm,
                           tau=tau, delta=delta, resid=resid,
                           bstop_tol=bstop_tol, hist=hist, mstate=mstate,
-                          indefinite=indefinite)
+                          indefinite=indefinite,
+                          stag_best=stag_best, stag_since=stag_since)
         # Keep the last good iterate where the reference would throw
         # (cpcglanczos.m:248-254); the degenerate dg/zeta of this iteration
         # would otherwise corrupt x.
@@ -197,7 +205,9 @@ def cpcglanczos(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
     istatus = jnp.where(
         out.indefinite, STATUS_INDEFINITE,
         jnp.where(solved_resid, STATUS_SOLVED,
-                  jnp.where(solved_bkerr, STATUS_BACKWARD, STATUS_ITMAX)),
+                  jnp.where(solved_bkerr, STATUS_BACKWARD,
+                            jnp.where(stag_stop(out.stag_since, opts.stagwin),
+                                      STATUS_STAGNATED, STATUS_ITMAX))),
     ).astype(jnp.int32)
     solved, istatus = apply_manifold_veto(solved, istatus, B, C, x_out,
                                           y_out, stop_tol)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..config import SolverOptions
 from ..precond.cp import CPPrecond, CPState
 from .common import (KrylovResult, STATUS_BREAKDOWN, STATUS_ITMAX,
+                     STATUS_STAGNATED, stag_init, stag_stop, stag_update,
                      STATUS_SOLVED, apply_manifold_veto, resolve_itmax,
                      resolve_operators, sym_givens)
 
@@ -30,6 +31,8 @@ class _Carry(NamedTuple):
     k: jax.Array
     breakdown: jax.Array
     stagnant: jax.Array   # consecutive iterations with an unchanged estimate
+    stag_best: jax.Array
+    stag_since: jax.Array
     x: jax.Array
     y: jax.Array
     x_prev: jax.Array
@@ -71,6 +74,7 @@ def cpdqgmres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
     q1 = jnp.where(nz, q1 / denom, q1)
 
     stop_tol = opts.atol + opts.rtol * resid0   # cpdqgmres.m:169
+    stag_best0, stag_since0 = stag_init(resid0, dtype)
     hist = jnp.full(itmax + 1, jnp.nan, dtype).at[0].set(resid0)
 
     carry = _Carry(
@@ -86,6 +90,7 @@ def cpdqgmres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         c=jnp.zeros(mem, dtype), s=jnp.zeros(mem, dtype),
         g=jnp.zeros(mem + 1, dtype).at[0].set(resid0),
         resid=resid0, hist=hist, mstate=mstate,
+        stag_best=stag_best0, stag_since=stag_since0,
     )
 
     def body(cr: _Carry) -> _Carry:
@@ -176,24 +181,29 @@ def cpdqgmres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         # only corrupt x (the reference has the same failure mode; verified
         # against a literal transcription).  Count and bail out.
         stagnant = jnp.where(resid == cr.resid, cr.stagnant + 1, 0)
+        stag_best, stag_since = stag_update(cr.stag_best, cr.stag_since,
+                                            resid)
         hist = cr.hist.at[k].set(resid)
         if opts.verbose:
             jax.debug.print("{k:5d}  {r:14.7e}", k=k, r=resid)
         return _Carry(k=k, breakdown=breakdown, stagnant=stagnant, x=x,
                       y=y, x_prev=cr.x, y_prev=cr.y, V=V, Q=Q, PV=PV,
                       PQ=PQ, c=c, s=s, g=g, resid=resid, hist=hist,
-                      mstate=mstate)
+                      mstate=mstate,
+                      stag_best=stag_best, stag_since=stag_since)
 
     out = jax.lax.while_loop(
         lambda cr: ((cr.resid > stop_tol) & (cr.k < itmax)
-                    & (~cr.breakdown) & (cr.stagnant < 3)), body, carry)
+                    & (~cr.breakdown) & (cr.stagnant < 3)
+                    & ~stag_stop(cr.stag_since, opts.stagwin)), body, carry)
 
     # On a breakdown/stagnation exit the lagged estimate is untrustworthy
     # (it can read exactly 0 while x is corrupted, since the reference's
     # estimate-only design has no cross-check, cpdqgmres.m:184-192).  Verify
     # the final and previous iterates against the TRUE preconditioned
     # residual and return the better one.
-    bad_exit = out.breakdown | (out.stagnant >= 3)
+    bad_exit = (out.breakdown | (out.stagnant >= 3)
+                | stag_stop(out.stag_since, opts.stagwin))
 
     def verify(x, y, mstate):
         u = b - A.matvec(x)
@@ -212,7 +222,9 @@ def cpdqgmres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
 
     solved = resid_trusted <= stop_tol
     istatus = jnp.where(
-        bad_exit & ~solved, STATUS_BREAKDOWN,
+        bad_exit & ~solved,
+        jnp.where(stag_stop(out.stag_since, opts.stagwin),
+                  STATUS_STAGNATED, STATUS_BREAKDOWN),
         jnp.where(solved, STATUS_SOLVED, STATUS_ITMAX)).astype(jnp.int32)
     solved, istatus = apply_manifold_veto(solved, istatus, B, C, x_out,
                                           y_out, stop_tol)

@@ -15,9 +15,10 @@ import jax.numpy as jnp
 from ..config import SolverOptions
 from ..precond.cp import CPPrecond, CPState
 from .common import (KrylovResult, STATUS_INDEFINITE, STATUS_ITMAX,
-                     STATUS_SOLVED, apply_manifold_veto, coupled_dot,
-                     eps100, history_init, resolve_itmax, resolve_operators,
-                     safe_normalize_pair)
+                     STATUS_SOLVED, STATUS_STAGNATED, apply_manifold_veto,
+                     coupled_dot, eps100, history_init, resolve_itmax,
+                     resolve_operators, safe_normalize_pair, stag_init,
+                     stag_stop, stag_update)
 
 
 class _Carry(NamedTuple):
@@ -42,6 +43,8 @@ class _Carry(NamedTuple):
     hist: jax.Array
     mstate: CPState
     indefinite: jax.Array
+    stag_best: jax.Array
+    stag_since: jax.Array
 
 
 def cpminres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
@@ -79,6 +82,7 @@ def cpminres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
     resid0 = beta
     stop_tol = opts.atol + opts.rtol * resid0          # cpminres.m:164
     hist = history_init(itmax, resid0, dtype)
+    stag_best0, stag_since0 = stag_init(resid0, dtype)
 
     carry = _Carry(
         k=jnp.zeros((), jnp.int32),
@@ -91,10 +95,12 @@ def cpminres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         wv=vkp1, wq=qkp1, wv2=zeron, wq2=zerom,
         resid=resid0, hist=hist, mstate=mstate,
         indefinite=indefinite0,
+        stag_best=stag_best0, stag_since=stag_since0,
     )
 
     def cond(c: _Carry):
-        return (c.resid > stop_tol) & (c.k < itmax) & (~c.indefinite)
+        return ((c.resid > stop_tol) & (c.k < itmax) & (~c.indefinite)
+                & ~stag_stop(c.stag_since, opts.stagwin))
 
     def body(c: _Carry) -> _Carry:
         k = c.k + 1
@@ -142,11 +148,13 @@ def cpminres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         if opts.verbose:
             jax.debug.print("{k:5d}  {r:9.2e}", k=k, r=resid)
 
+        stag_best, stag_since = stag_update(c.stag_best, c.stag_since, resid)
         advanced = _Carry(k=k, x=x, y=y, vk=vk, qk=qk, vkp1=vkp1,
                           qkp1=qkp1, beta=beta, deltabar=deltabar,
                           epsln=epsln, taubar=taubar, cs=cs, sn=sn, wv=wv,
                           wq=wq, wv2=wv2, wq2=wq2, resid=resid, hist=hist,
-                          mstate=mstate, indefinite=indefinite)
+                          mstate=mstate, indefinite=indefinite,
+                          stag_best=stag_best, stag_since=stag_since)
         # On indefiniteness the reference errors out mid-iteration
         # (cpminres.m:195-199), losing everything; here the last good
         # iterate is kept and the status reports the guard.
@@ -159,7 +167,9 @@ def cpminres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
     solved = out.resid <= stop_tol
     istatus = jnp.where(
         out.indefinite, STATUS_INDEFINITE,
-        jnp.where(solved, STATUS_SOLVED, STATUS_ITMAX),
+        jnp.where(solved, STATUS_SOLVED,
+                  jnp.where(stag_stop(out.stag_since, opts.stagwin),
+                            STATUS_STAGNATED, STATUS_ITMAX)),
     ).astype(jnp.int32)
     solved, istatus = apply_manifold_veto(solved, istatus, B, C, out.x,
                                           out.y, stop_tol)

@@ -17,9 +17,10 @@ import numpy as np
 from ..config import SolverOptions
 from ..precond.cp import CPPrecond, CPState
 from .common import (KrylovResult, STATUS_INDEFINITE, STATUS_ITMAX,
-                     STATUS_SOLVED, apply_manifold_veto, eps100,
-                     initial_lanczos_pair, lanczos_step, resolve_itmax,
-                     resolve_operators)
+                     STATUS_SOLVED, STATUS_STAGNATED, apply_manifold_veto,
+                     eps100, initial_lanczos_pair, lanczos_step,
+                     resolve_itmax, resolve_operators, stag_init, stag_stop,
+                     stag_update)
 
 
 class _Carry(NamedTuple):
@@ -50,6 +51,8 @@ class _Carry(NamedTuple):
     cg_hist: jax.Array
     mstate: CPState
     indefinite: jax.Array
+    stag_best: jax.Array
+    stag_since: jax.Array
 
 
 def cpsymmlq(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
@@ -75,6 +78,7 @@ def cpsymmlq(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         b, m, M, mstate, e100)
     cgresid0 = beta1
     stop_tol = opts.atol + opts.rtol * cgresid0   # cpsymmlq.m:158
+    stag_best0, stag_since0 = stag_init(cgresid0, dtype)
     done0 = cgresid0 <= stop_tol                  # cpsymmlq.m:189
 
     # History buffers: loop appends lq/qr at slot k, cg at slot k+1; slot 0
@@ -99,6 +103,7 @@ def cpsymmlq(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         cgresid=cgresid0,
         lq_hist=lq_hist, qr_hist=qr_hist, cg_hist=cg_hist,
         mstate=mstate, indefinite=indefinite0 | indef1,
+        stag_best=stag_best0, stag_since=stag_since0,
     )
 
     def _norms(c: _Carry):
@@ -114,7 +119,7 @@ def cpsymmlq(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
 
     def cond(c: _Carry):
         return ((c.cgresid > stop_tol) & (c.k < itmax) & (~c.indefinite)
-                & (~done0))
+                & (~done0) & ~stag_stop(c.stag_since, opts.stagwin))
 
     def body(c: _Carry) -> _Carry:
         # Norms at loop top, appended before the iteration advances
@@ -173,6 +178,7 @@ def cpsymmlq(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         # this body (MATLAB semantics: the advance still runs even when that
         # norm already meets the tolerance, cpsymmlq.m:229-241).
         best_bstep = jnp.where(better, bstep, c.best_bstep)
+        stag_best, stag_since = stag_update(c.stag_best, c.stag_since, cg)
         advanced = c._replace(k=k, x=x, y=y, best_x=best_x, best_y=best_y,
                               best_bstep=best_bstep, best_resid=best_resid,
                               vk=vk, qk=qk, vkp1=vkp1,
@@ -182,7 +188,8 @@ def cpsymmlq(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
                               snprod=snprod, matnorm2=matnorm2, wv=wv, wq=wq,
                               cgresid=cg, lq_hist=lq_hist, qr_hist=qr_hist,
                               cg_hist=cg_hist, mstate=mstate,
-                              indefinite=indef)
+                              indefinite=indef,
+                              stag_best=stag_best, stag_since=stag_since)
         # Keep the last good iterate where the reference would throw
         # (cpsymmlq.m:274-278).
         kept = c._replace(indefinite=indef, mstate=mstate)
@@ -227,7 +234,9 @@ def cpsymmlq(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
     solved = cgresid_out <= stop_tol
     istatus = jnp.where(
         out.indefinite, STATUS_INDEFINITE,
-        jnp.where(solved, STATUS_SOLVED, STATUS_ITMAX),
+        jnp.where(solved, STATUS_SOLVED,
+                  jnp.where(stag_stop(out.stag_since, opts.stagwin),
+                            STATUS_STAGNATED, STATUS_ITMAX)),
     ).astype(jnp.int32)
     solved, istatus = apply_manifold_veto(solved, istatus, B, C, x_final,
                                           y_final, stop_tol)
