@@ -45,6 +45,9 @@ class SolverOptions:
     btol: float = 0.0        # cpcglanczos backward-error tolerance
     restart: int = 50        # cpgmres restart length
     mem: int = 50            # cpdqgmres memory
+    reorth: bool = False     # cpgmres second orthogonalization pass
+                             # (documented but unimplemented in the
+                             # reference, cpgmres.m:81-82 / TODO.md)
     verbose: bool = False    # per-iteration debug printing (reference: print)
     stagwin: int = 0         # stop after this many iters without >=10%
                              # improvement of the best residual (0 = off;

@@ -127,6 +127,28 @@ def cpgmres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         hcol0 = jnp.zeros(restart + 1, dtype)
         hcol, vnew, qnew = jax.lax.fori_loop(0, k + 1, mgs,
                                              (hcol0, vnew, qnew))
+        if opts.reorth:
+            # Second pass ("twice is enough").  The process pairs basis
+            # pairs with the K_P-image of the candidate's RAW preconditioned
+            # coordinates: H(j,k) = V_j'u + Q_j't with [u; -t] =
+            # K_P [w1; w2] (cpgmres.m:209-215).  The q-channel deflation
+            # acts on q_k - w2, so the deflated candidate's raw pair is
+            # (vnew, q_k - qnew); one K_P SpMV gives its exact duals (the
+            # undeflated case reproduces the first-pass formula verbatim).
+            # No A/C/preconditioner application needed.  The reference
+            # documents `reorth` but never implements it (cpgmres.m:81-82).
+            kp_im = M.mul_kp(jnp.concatenate([vnew, qk - qnew]))
+            u = kp_im[:n]
+            t = -kp_im[n:]
+
+            def mgs2(j, acc):
+                hcol, vnew, qnew = acc
+                hj = jnp.dot(ic.V[j], u) + jnp.dot(ic.Q[j], t)
+                return (hcol.at[j].add(hj), vnew - hj * ic.V[j],
+                        qnew - hj * ic.Q[j])
+
+            hcol, vnew, qnew = jax.lax.fori_loop(0, k + 1, mgs2,
+                                                 (hcol, vnew, qnew))
         # A nonpositive coupled inner product is a breakdown: lucky (exact
         # convergence) or loss of M-positivity past convergence — where the
         # reference goes complex (cpgmres.m:219-222).  The iteration still

@@ -90,6 +90,29 @@ def test_stagwin_off_preserves_f64_behavior():
     assert o1.niters == o2.niters
 
 
+def test_gmres_reorth_parity_and_f32_benefit(cvxqp2):
+    """reorth (unimplemented in the reference, cpgmres.m:81-82) must leave
+    healthy f64 runs untouched and cut iterations at the f32 floor."""
+    from cpkrylov_tpu import SolverOptions, PrecondOptions, solve
+
+    popts = PrecondOptions(residual_update=True, nitref=1, force_itref=True)
+    o64 = solve("cpgmres", cvxqp2.b, cvxqp2.A, cvxqp2.B, cvxqp2.C, cvxqp2.G,
+                opts=SolverOptions(itmax=500, restart=100, reorth=True),
+                precond_opts=popts)
+    assert o64.solved and abs(int(o64.niters) - 127) <= 2   # BASELINE.md
+
+    def run_f32(reorth):
+        return solve(
+            "cpgmres", cvxqp2.b.astype(np.float32), cvxqp2.A, cvxqp2.B,
+            cvxqp2.C, cvxqp2.G, dtype=np.float32,
+            opts=SolverOptions(atol=0.0, rtol=3e-4, itmax=500, restart=150,
+                               reorth=reorth), precond_opts=popts)
+
+    plain, re2 = run_f32(False), run_f32(True)
+    assert re2.solved
+    assert int(re2.niters) < int(plain.niters)
+
+
 def test_mixed_honest_when_budget_exhausted():
     sys_ = fixtures.random_sqd_system(100, 30, seed=7)
     out = solve_mixed("cpminres", sys_.b, sys_.A, sys_.B, sys_.C, sys_.G,
