@@ -26,8 +26,9 @@ import numpy as np
 from ..config import PrecondOptions
 from ..ops.formats import CSR, csr_from_scipy
 from ..ops.spmv import csr_matvec
-from .trisolve import BlockTriFactor, block_tri_solve, build_block_tri, \
-    build_block_tri_upper
+from .trisolve import (BlockTriFactor, ScanTriFactor, block_tri_solve,
+                       build_block_tri, build_block_tri_upper,
+                       build_scan_tri, tri_solve)
 from . import ldl_host
 
 
@@ -51,17 +52,17 @@ class FactorApply:
     """
 
     perm_in: jax.Array    # (N,) int32
-    tf1: BlockTriFactor
+    tf1: BlockTriFactor | ScanTriFactor
     dinv: jax.Array       # (N,) inverse pivots (ones for the LU backend)
-    tf2: BlockTriFactor
+    tf2: BlockTriFactor | ScanTriFactor
     perm_out: jax.Array   # (N,) int32
 
     def solve(self, z: jax.Array) -> jax.Array:
         w = jnp.take(z, self.perm_in)
-        w = block_tri_solve(self.tf1, w)
+        w = tri_solve(self.tf1, w)
         w = w * self.dinv.astype(w.dtype)
         w = jnp.flip(w)
-        w = block_tri_solve(self.tf2, w)
+        w = tri_solve(self.tf2, w)
         w = jnp.flip(w)
         return jnp.zeros_like(w).at[self.perm_out].set(w)
 
@@ -191,6 +192,32 @@ def assemble_kp(G, B, C):
     return sp.bmat([[G, B.T], [B, -C]], format="csc")
 
 
+def _build_tri(T, panel: int, dtype):
+    """Prefer the parallel-prefix (scan) factor when the subdiagonal reach
+    permits it — log-depth batched MXU matmuls instead of an O(n/panel)
+    sequential loop; fall back to blocked ELL substitution otherwise.
+    A small scan panel minimizes the scan's O(panel^2) per-row volume."""
+    import scipy.sparse as sp
+
+    coo = sp.csr_matrix(T).tocoo()
+    reach = int((coo.row - coo.col).max()) if coo.nnz else 0
+    for p in (128, 256):
+        if reach <= p and p <= max(panel, 128):
+            tf = build_scan_tri(T, panel=p, dtype=dtype)
+            if tf is not None:
+                return tf
+    return build_block_tri(T, panel=panel, dtype=dtype)
+
+
+def _build_tri_upper(U, panel: int, dtype):
+    import scipy.sparse as sp
+
+    U = sp.csr_matrix(U)
+    n = U.shape[0]
+    rev = np.arange(n - 1, -1, -1)
+    return _build_tri(U[rev][:, rev].tocsr(), panel, dtype)
+
+
 def build_factor_apply(fac, N: int, panel: int, dtype) -> FactorApply:
     """Pack a host factorization (HostLDL or HostLU) into a device
     ``FactorApply`` of blocked triangular solves."""
@@ -198,9 +225,9 @@ def build_factor_apply(fac, N: int, panel: int, dtype) -> FactorApply:
 
     if isinstance(fac, ldl_host.HostLDL):
         L1 = (fac.L + sp.identity(N, format="csc")).tocsr()
-        tf1 = build_block_tri(L1, panel=panel, dtype=dtype)
-        tf2 = build_block_tri_upper((fac.L + sp.identity(N)).T.tocsr(),
-                                    panel=panel, dtype=dtype)
+        tf1 = _build_tri(L1, panel=panel, dtype=dtype)
+        tf2 = _build_tri_upper((fac.L + sp.identity(N)).T.tocsr(),
+                               panel=panel, dtype=dtype)
         return FactorApply(
             perm_in=jnp.asarray(fac.perm, dtype=jnp.int32),
             tf1=tf1,
@@ -209,8 +236,8 @@ def build_factor_apply(fac, N: int, panel: int, dtype) -> FactorApply:
             perm_out=jnp.asarray(fac.perm, dtype=jnp.int32),
         )
     # HostLU from splu
-    tf1 = build_block_tri(fac.L.tocsr(), panel=panel, dtype=dtype)
-    tf2 = build_block_tri_upper(fac.U.tocsr(), panel=panel, dtype=dtype)
+    tf1 = _build_tri(fac.L.tocsr(), panel, dtype)
+    tf2 = _build_tri_upper(fac.U.tocsr(), panel, dtype)
     return FactorApply(
         perm_in=jnp.asarray(fac.row_perm, dtype=jnp.int32),
         tf1=tf1,

@@ -49,6 +49,12 @@ class BlockTriFactor:
     def nblocks(self) -> int:
         return self.inv_diag.shape[0]
 
+    @property
+    def work_nnz(self) -> int:
+        """Arithmetic volume of one solve (for the profiling work model)."""
+        return (int(np.count_nonzero(np.asarray(self.off_data)))
+                + self.nblocks * self.panel * self.panel)
+
 
 def build_block_tri(T, panel: int = 256, dtype=None) -> BlockTriFactor:
     """Prepare a scipy lower-triangular matrix (diagonal included).
@@ -127,6 +133,114 @@ def block_tri_solve(tf: BlockTriFactor, b: jax.Array) -> jax.Array:
 
     x = jax.lax.fori_loop(0, tf.nblocks, body, x0)
     return x[: tf.n]
+
+
+@partial(_register,
+         data_fields=("inv_diag", "m_blocks"),
+         meta_fields=("n", "panel"))
+@dataclasses.dataclass(frozen=True)
+class ScanTriFactor:
+    """Block-bidiagonal lower factor prepared for an associative scan.
+
+    When every off-panel entry of T comes from the immediately preceding
+    panel (true for banded matrices under RCM ordering, where the LDL^T
+    factor's subdiagonal reach is tiny), the blocked substitution
+
+        x_i = inv_diag_i (b_i - S_i x_{i-1}) = M_i x_{i-1} + c_i
+
+    is a first-order linear recurrence over panels — a parallel prefix.
+    ``lax.associative_scan`` evaluates it in log2(nblocks) levels of
+    batched (panel, panel) matmuls on the MXU, replacing the O(nblocks)
+    sequential ``fori_loop`` of ``block_tri_solve`` (the dominant cost of
+    preconditioner application at production sizes: ~4900 sequential steps
+    for a 1.25M-row system at panel=256).
+    """
+
+    inv_diag: jax.Array  # (nblocks, panel, panel)
+    m_blocks: jax.Array  # (nblocks, panel, panel); M_0 = 0
+    n: int
+    panel: int
+
+    @property
+    def nblocks(self) -> int:
+        return self.inv_diag.shape[0]
+
+    @property
+    def work_nnz(self) -> int:
+        """Arithmetic volume of one solve (for the profiling work model)."""
+        nb, p = self.nblocks, self.panel
+        levels = max(1, int(np.ceil(np.log2(max(nb, 2)))))
+        return nb * p * p * levels
+
+
+def build_scan_tri(T, panel: int = 128, dtype=None) -> ScanTriFactor | None:
+    """Prepare T for the scan solve; None when entries reach beyond the
+    preceding panel (the caller then falls back to ``build_block_tri``)."""
+    import scipy.sparse as sp
+    import scipy.linalg as sla
+
+    T = sp.csr_matrix(T)
+    n = T.shape[0]
+    dtype = dtype or T.dtype
+    coo = T.tocoo()
+    reach = int((coo.row - coo.col).max()) if coo.nnz else 0
+    # Entries must stay within the previous panel for EVERY block boundary:
+    # row r in block b may only reference columns >= (b-1)*panel, which is
+    # guaranteed iff the subdiagonal reach is at most panel.
+    if reach > panel:
+        return None
+
+    nblocks = max(1, -(-n // panel))
+    n_pad = nblocks * panel
+    Tp = sp.csr_matrix((coo.data, (coo.row, coo.col)), shape=(n_pad, n_pad))
+    # Padding rows solve to identity.
+    pad = np.arange(n, n_pad)
+    if pad.size:
+        Tp = Tp + sp.csr_matrix(
+            (np.ones(pad.size), (pad, pad)), shape=(n_pad, n_pad))
+    Tp = Tp.tocsc()
+
+    inv_diag = np.zeros((nblocks, panel, panel), dtype=dtype)
+    m_blocks = np.zeros((nblocks, panel, panel), dtype=dtype)
+    eye = np.eye(panel)
+    for blk in range(nblocks):
+        r0 = blk * panel
+        diag = Tp[r0:r0 + panel, r0:r0 + panel].toarray()
+        inv = sla.solve_triangular(diag, eye, lower=True)
+        inv_diag[blk] = inv.astype(dtype)
+        if blk:
+            sub = Tp[r0:r0 + panel, r0 - panel:r0].toarray()
+            m_blocks[blk] = (-inv @ sub).astype(dtype)
+
+    return ScanTriFactor(inv_diag=jnp.asarray(inv_diag),
+                         m_blocks=jnp.asarray(m_blocks),
+                         n=int(n), panel=int(panel))
+
+
+def scan_tri_solve(tf: ScanTriFactor, b: jax.Array) -> jax.Array:
+    """Solve T x = b via parallel prefix over the panel recurrence."""
+    p = tf.panel
+    n_pad = tf.nblocks * p
+    b_pad = jnp.zeros(n_pad, b.dtype).at[: tf.n].set(b)
+    b2 = b_pad.reshape(tf.nblocks, p)
+    c = jnp.einsum("bij,bj->bi", tf.inv_diag.astype(b.dtype), b2)
+    m = tf.m_blocks.astype(b.dtype)
+
+    def combine(a, bb):
+        ma, ca = a
+        mb, cb = bb
+        return mb @ ma, jnp.einsum("...ij,...j->...i", mb, ca) + cb
+
+    _, x = jax.lax.associative_scan(combine, (m, c))
+    return x.reshape(-1)[: tf.n]
+
+
+def tri_solve(tf, b: jax.Array) -> jax.Array:
+    """Dispatch on the prepared factor kind (static under jit: the factor
+    class is part of the pytree structure)."""
+    if isinstance(tf, ScanTriFactor):
+        return scan_tri_solve(tf, b)
+    return block_tri_solve(tf, b)
 
 
 def build_block_tri_upper(U, panel: int = 256, dtype=None) -> BlockTriFactor:

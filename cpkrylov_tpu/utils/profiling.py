@@ -53,12 +53,9 @@ class WorkModel:
 
 
 def _factor_nnz(M) -> int:
-    """Nonzeros applied by one FactorApply.solve (ELL off-panels counted by
-    actual nonzeros, diagonal panels by their dense (panel, panel) MACs)."""
-    total = 0
-    for tf in (M.factor.tf1, M.factor.tf2):
-        total += int(np.count_nonzero(np.asarray(tf.off_data)))
-        total += tf.nblocks * tf.panel * tf.panel
+    """Arithmetic volume of one FactorApply.solve (each factor reports its
+    own work model: ELL off-panels + dense panels, or scan levels)."""
+    total = M.factor.tf1.work_nnz + M.factor.tf2.work_nnz
     total += M.factor.dinv.shape[0]
     return total
 

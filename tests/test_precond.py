@@ -83,6 +83,58 @@ def test_block_tri_solve_upper(rng, panel):
         rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.parametrize("band", [1, 3, 17])
+@pytest.mark.parametrize("panel", [32, 128])
+def test_scan_tri_solve_matches_sequential(rng, band, panel):
+    """The parallel-prefix (associative-scan) solve must agree with the
+    sequential blocked substitution on banded factors."""
+    from cpkrylov_tpu.precond.trisolve import (build_scan_tri,
+                                               scan_tri_solve, tri_solve)
+
+    n = 700
+    diags = [3.0 + rng.random(n)]
+    offsets = [0]
+    for off in range(1, band + 1):
+        diags.append(rng.random(n - off) * 0.4)
+        offsets.append(-off)
+    T = sp.diags(diags, offsets, format="csr")
+    b = rng.standard_normal(n)
+    tf = build_scan_tri(T, panel=panel)
+    assert tf is not None
+    x = np.asarray(scan_tri_solve(tf, b))
+    xref = spla.spsolve_triangular(T.tocsr(), b, lower=True)
+    np.testing.assert_allclose(x, xref, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(tri_solve(tf, b)), xref,
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_scan_tri_rejects_wide_reach(rng):
+    from cpkrylov_tpu.precond.trisolve import build_scan_tri
+
+    n = 400
+    T = (sp.identity(n) * 2.0
+         + sp.diags([rng.random(n - 150)], [-150])).tocsr()
+    assert build_scan_tri(T, panel=128) is None
+
+
+def test_banded_system_uses_scan_factor():
+    """Banded SQD systems must get the scan factor automatically and still
+    solve to tolerance through the full driver."""
+    from cpkrylov_tpu import SolverOptions, make_preconditioner, solve
+    from cpkrylov_tpu.precond.trisolve import ScanTriFactor
+    from cpkrylov_tpu.utils import fixtures
+
+    sys_ = fixtures.banded_saddle_system(4000, 1000, bandwidth=3)
+    M = make_preconditioner(sys_.G, sys_.B, sys_.C)
+    assert isinstance(M.factor.tf1, ScanTriFactor)
+    assert isinstance(M.factor.tf2, ScanTriFactor)
+    out = solve("cpminres", sys_.b, sys_.A, sys_.B, sys_.C, sys_.G,
+                opts=SolverOptions(itmax=300), M=M)
+    assert out.solved
+    resid = np.linalg.norm(sys_.b - sys_.K @ np.asarray(out.x))
+    assert resid <= 1e-5 * np.linalg.norm(sys_.b)
+
+
 # ---------------------------------------------------------------------------
 # Full preconditioner: direct solve path
 # ---------------------------------------------------------------------------
