@@ -196,13 +196,20 @@ def _build_tri(T, panel: int, dtype):
     """Prefer the parallel-prefix (scan) factor when the subdiagonal reach
     permits it — log-depth batched MXU matmuls instead of an O(n/panel)
     sequential loop; fall back to blocked ELL substitution otherwise.
-    A small scan panel minimizes the scan's O(panel^2) per-row volume."""
+    A small scan panel minimizes the scan's O(panel^2) per-row volume.
+
+    The scan form is only selected when the factor spans many panels: with
+    a handful of blocks the sequential substitution is already cheap, and
+    the scan's composed panel products carry slightly more roundoff than
+    plain substitution — enough to lift a Krylov solver's attainable
+    residual floor past a knife-edge stop tolerance on small systems."""
     import scipy.sparse as sp
 
     coo = sp.csr_matrix(T).tocoo()
+    n = T.shape[0]
     reach = int((coo.row - coo.col).max()) if coo.nnz else 0
     for p in (128, 256):
-        if reach <= p and p <= max(panel, 128):
+        if reach <= p and p <= max(panel, 128) and n >= 16 * p:
             tf = build_scan_tri(T, panel=p, dtype=dtype)
             if tf is not None:
                 return tf
