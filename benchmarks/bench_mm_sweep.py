@@ -1,0 +1,89 @@
+"""Maros–Mészáros CVXQP kernel sweep benchmark.
+
+BASELINE.json configs[2]: full kernel sweep (all six CP-Krylov kernels) on
+Maros–Mészáros QP KKT systems with C = delta*I regularization.  Problems are
+regenerated from the CVXQP family's analytic CUTE definitions
+(cpkrylov_tpu/utils/mm.py) at a simulated interior-point iterate — the same
+problem family and structure as the reference's shipped fixtures.
+
+Usage:
+    python benchmarks/bench_mm_sweep.py [--size s|m|l|<int>] [--mu MU]
+                                        [--tol TOL] [--f32]
+
+Prints one human table plus one JSON line per (problem, kernel) row.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="s",
+                    help="catalogue letter (s/m/l) or an explicit n")
+    ap.add_argument("--mu", type=float, default=1e-4,
+                    help="barrier parameter of the simulated IPM iterate")
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--itmax", type=int, default=1000)
+    ap.add_argument("--f32", action="store_true",
+                    help="run in f32 (perf mode; f64 is the parity mode)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the environment may boot "
+                         "a TPU plugin before argv is seen)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+
+    import scipy.sparse.linalg as spla
+
+    from cpkrylov_tpu import SolverOptions, solve
+    from cpkrylov_tpu.utils.mm import mm_suite
+
+    size = int(args.size) if args.size.isdigit() else args.size
+    suite = mm_suite(size, mu=args.mu)
+    kernels = ["cpcg", "cpcglanczos", "cpminres", "cpsymmlq",
+               "cpgmres", "cpdqgmres"]
+    opts = SolverOptions(atol=args.tol, rtol=args.tol, itmax=args.itmax,
+                         restart=50, mem=50)
+    dev = jax.devices()[0]
+    print(f"# device={dev.device_kind} size={size} mu={args.mu:g} "
+          f"tol={args.tol:g} dtype={'f32' if args.f32 else 'f64'}")
+    hdr = f"{'problem':<12} {'kernel':<12} {'n+m':>7} {'iters':>6} " \
+          f"{'rel-err':>9} {'solve_s':>8} {'solved':>6}"
+    print(hdr)
+    print("-" * len(hdr))
+
+    for s in suite:
+        xref = spla.spsolve(s.K.tocsc(), s.b)
+        for method in kernels:
+            t0 = time.perf_counter()
+            out = solve(method, s.b, s.A, s.B, s.C, s.G, opts=opts)
+            dt = time.perf_counter() - t0
+            x = np.concatenate([np.asarray(out.x1), np.asarray(out.x2)])
+            err = float(np.linalg.norm(x - xref) / np.linalg.norm(xref))
+            row = {
+                "problem": s.name, "kernel": method, "N": s.n + s.m,
+                "iters": int(out.niters), "rel_err": err,
+                "solve_s": round(dt, 4), "solved": bool(out.solved),
+            }
+            print(f"{s.name:<12} {method:<12} {s.n + s.m:>7} "
+                  f"{row['iters']:>6} {err:>9.2e} {dt:>8.3f} "
+                  f"{str(row['solved']):>6}")
+            print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

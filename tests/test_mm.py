@@ -1,0 +1,89 @@
+"""Maros–Mészáros CVXQP suite: structure checks + full kernel sweep.
+
+BASELINE.json configs[2]: "Full kernel sweep (CPCG/CP-CG-Lanczos/CPSYMMLQ)
+on Maros-Meszaros QP KKT systems, C=delta*I regularization".
+"""
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+from cpkrylov_tpu import SolverOptions, solve
+from cpkrylov_tpu.utils.mm import CVXQP_M_FRAC, cvxqp_kkt, cvxqp_problem
+
+LANCZOS_KERNELS = ["cpcg", "cpcglanczos", "cpminres", "cpsymmlq"]
+ARNOLDI_KERNELS = ["cpgmres", "cpdqgmres"]
+
+
+@pytest.mark.parametrize("family", ["cvxqp1", "cvxqp2", "cvxqp3"])
+def test_cvxqp_structure(family):
+    n = 64  # small sizes can hit modular-index rank collisions (n=60 does)
+    Q, J, lo, hi, rhs, m = cvxqp_problem(family, n)
+    assert m == int(round(CVXQP_M_FRAC[family] * n))
+    # Q = P^T diag(1..n) P must be symmetric PSD
+    d = (Q - Q.T)
+    assert abs(d).max() == 0.0
+    w = np.linalg.eigvalsh(Q.toarray())
+    assert w.min() > -1e-10
+    # constraint rows: coefficients {1,2,3} summed on collisions
+    assert J.shape == (m, n)
+    assert np.all(J.sum(axis=1) == 6.0)
+    # full row rank for the catalogue shapes
+    assert np.linalg.matrix_rank(J.toarray()) == m
+
+
+def test_cvxqp_kkt_matches_fixture_structure():
+    """Generated KKT mirrors the shipped fixtures: SQD 2x2 blocks and pure
+    delta-regularization C = delta*I (SURVEY.md §2.1 rows 13-14)."""
+    s = cvxqp_kkt("cvxqp1", 80, delta=1e-8)
+    assert s.n == 80 and s.m == 40
+    C = s.C.toarray()
+    np.testing.assert_allclose(C, 1e-8 * np.eye(40))
+    H = s.A.toarray()
+    np.testing.assert_allclose(H, H.T)
+    assert np.linalg.eigvalsh(H).min() > 0  # bound barrier makes H SPD
+    assert s.K.shape == (120, 120)
+
+
+def test_cvxqp_deterministic():
+    a = cvxqp_kkt("cvxqp2", 64, seed=3)
+    b = cvxqp_kkt("cvxqp2", 64, seed=3)
+    assert (a.K != b.K).nnz == 0
+    np.testing.assert_array_equal(a.b, b.b)
+
+
+@pytest.mark.parametrize("family", ["cvxqp1", "cvxqp2", "cvxqp3"])
+@pytest.mark.parametrize("method", LANCZOS_KERNELS + ARNOLDI_KERNELS)
+def test_mm_kernel_sweep(family, method):
+    """Every kernel solves every CVXQP member to tolerance, verified
+    against the scipy sparse direct oracle (the reference's validation
+    pattern, cpk_exprog1.m:100-104)."""
+    s = cvxqp_kkt(family, 64, mu=1e-3, delta=1e-8, seed=1)
+    xref = spla.spsolve(s.K.tocsc(), s.b)
+    # reference default tolerance (cpk_exprog1.m:79-82); 1e-8 is beyond
+    # the M-norm residual estimator's attainable floor on these systems
+    opts = SolverOptions(atol=1e-6, rtol=1e-6, itmax=400, restart=50, mem=30)
+    out = solve(method, s.b, s.A, s.B, s.C, s.G, opts=opts)
+    assert out.solved, (family, method, out.istatus)
+    x = np.concatenate([np.asarray(out.x1), np.asarray(out.x2)])
+    err = np.linalg.norm(x - xref) / np.linalg.norm(xref)
+    # forward error tracks cond(K)*tol: the reference's own cvxqp2_s run at
+    # this tolerance lands at 8.2e-5 (BASELINE.md); cvxqp2's KKT here is the
+    # worst-conditioned member, so allow one extra order.
+    assert err < 1e-3, (family, method, err)
+
+
+def test_mm_sweep_ill_conditioned_with_itref():
+    """Late-IPM ill-conditioning (mu=1e-6): iterative refinement in the
+    preconditioner keeps the solve honest (reference opLDL2.m:173-187)."""
+    from cpkrylov_tpu import PrecondOptions
+
+    s = cvxqp_kkt("cvxqp1", 64, mu=1e-6, delta=1e-8, seed=2)
+    xref = spla.spsolve(s.K.tocsc(), s.b)
+    opts = SolverOptions(atol=1e-6, rtol=1e-6, itmax=400)
+    out = solve("cpminres", s.b, s.A, s.B, s.C, s.G, opts=opts,
+                precond_opts=PrecondOptions(residual_update=True, nitref=1,
+                                            force_itref=True))
+    assert out.solved
+    x = np.concatenate([np.asarray(out.x1), np.asarray(out.x2)])
+    err = np.linalg.norm(x - xref) / np.linalg.norm(xref)
+    assert err < 1e-4, err
