@@ -93,10 +93,15 @@ def main() -> None:
     # Warmup / compile.
     spmv(x0).block_until_ready()
 
+    # Chain each repetition's operand to the previous result so no rep can
+    # be elided or overlapped away: the measured time is a true serial
+    # dependency chain of `reps` SpMVs (values are N(0,1) with k=8 per row,
+    # so the iterated norm stays finite in f32 over 50 applications).
     reps = 50
+    y = x0
     t0 = time.perf_counter()
     for _ in range(reps):
-        y = spmv(x0)
+        y = spmv(y)
     y.block_until_ready()
     elapsed = time.perf_counter() - t0
 
