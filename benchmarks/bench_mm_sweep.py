@@ -52,7 +52,15 @@ def main() -> None:
     from cpkrylov_tpu import SolverOptions, solve
     from cpkrylov_tpu.utils.mm import mm_suite
 
-    size = int(args.size) if args.size.isdigit() else args.size
+    if args.size.isdigit():
+        size = int(args.size)
+        if size < 8:
+            ap.error(f"--size {size} too small (need n >= 8)")
+    elif args.size.lower() in ("s", "m", "l"):
+        size = args.size.lower()
+    else:
+        ap.error(f"--size must be s, m, l or a positive integer, "
+                 f"got {args.size!r}")
     suite = mm_suite(size, mu=args.mu)
     kernels = ["cpcg", "cpcglanczos", "cpminres", "cpsymmlq",
                "cpgmres", "cpdqgmres"]

@@ -10,6 +10,7 @@ callable can serve as the operand.
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from functools import partial
 from typing import Callable, Tuple
 
@@ -83,6 +84,30 @@ class FunctionOperator:
 
 LinearOperator = (MatrixOperator, FunctionOperator)
 
+# Wrapping a user callable creates a fresh closure; since ``fn`` is a meta
+# (static) field of FunctionOperator, a fresh closure per call would defeat
+# the jit cache and retrace every solve.  Cache the wrapper per callable so
+# repeated ``aslinearoperator(f)`` (and hence repeated ``solve()``) hit the
+# same compiled executable.
+_FUNC_OP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _wrap_callable(obj, shape) -> FunctionOperator:
+    shape = tuple(int(s) for s in shape)
+    try:
+        cached = _FUNC_OP_CACHE.get(obj)
+    except TypeError:            # non-weakref-able callable: no caching
+        cached = None
+    if cached is not None and cached.shape == shape:
+        return cached
+    op = FunctionOperator(params=None, fn=lambda _, x: obj(x), rfn=None,
+                          shape=shape)
+    try:
+        _FUNC_OP_CACHE[obj] = op
+    except TypeError:
+        pass
+    return op
+
 
 def aslinearoperator(obj, shape=None, dtype=None) -> object:
     """Coerce matrices / callables / operators to an operator."""
@@ -93,8 +118,7 @@ def aslinearoperator(obj, shape=None, dtype=None) -> object:
     if callable(obj) and not hasattr(obj, "shape"):
         if shape is None:
             raise ValueError("shape required when wrapping a callable")
-        return FunctionOperator(params=None, fn=lambda _, x: obj(x), rfn=None,
-                                shape=tuple(shape))
+        return _wrap_callable(obj, shape)
     # scipy sparse
     try:
         import scipy.sparse as sp

@@ -138,7 +138,9 @@ def dist_cpminres(mesh: Mesh, blocks: PartitionedBlocks, M: CPPrecond,
         vkp1 = w1
         qkp1 = -w2
         beta0 = pdot(b_loc, vkp1)
-        indefinite0 = beta0 < -e100
+        # Relative threshold, matching the serial kernels'
+        # initial_lanczos_pair (solvers/common.py) exactly.
+        indefinite0 = beta0 < -e100 * (1 + jnp.abs(beta0))
         beta = jnp.sqrt(jnp.abs(beta0))
         pos = beta > 0
         denom = jnp.where(pos, beta, 1.0)

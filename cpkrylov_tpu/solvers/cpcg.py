@@ -116,7 +116,11 @@ def cpcg(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         best_resid = jnp.where(better, resid, c.best_resid)
         hist = c.hist.at[itn].set(resid)
         if opts.verbose:
-            jax.debug.print("{k:5d}  {r:9.2e}", k=itn, r=resid)
+            # The reference's CPCG table additionally reports the two
+            # curvatures and the step length (cpcg.m:138-144, 156-159).
+            jax.debug.print(
+                "{k:5d}  {r:9.2e}  pAp={pap:9.2e}  qCq={qcq:9.2e}  "
+                "step={al:9.2e}", k=itn, r=resid, pap=pAp, qcq=qCq, al=alpha)
         # A negative M-norm residual means the estimate lost meaning (the
         # reference would go complex): the just-made update is kept, the
         # loop exits, and the final verification decides `solved`.

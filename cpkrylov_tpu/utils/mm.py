@@ -95,13 +95,14 @@ def cvxqp_kkt(family: str, n: int | str = "s", *, mu: float = 1e-4,
     """
     if isinstance(n, str):
         n = CVXQP_SIZES[n.lower()]
-    Q, J, lo, hi, _, m = cvxqp_problem(family, n)
+    Q, J, lo, hi, rhs_eq, m = cvxqp_problem(family, n)
 
     rng = np.random.default_rng(seed)
-    # strictly interior primal iterate and positive bound multipliers whose
-    # magnitudes straddle the barrier parameter mu (log-uniform) — this is
-    # what a primal-dual IPM looks like near convergence and is the source
-    # of the fixtures' wide diagonal spread.
+    # strictly interior primal iterate and positive bound multipliers chosen
+    # so the complementarity products x_i*z_i span [mu^2, 1] log-uniformly
+    # (geometric center mu) — this is what a primal-dual IPM looks like near
+    # convergence; the extra 1/(x-l), 1/(u-x) dual scaling is the source of
+    # the fixtures' wide diagonal spread.
     t = rng.uniform(0.15, 0.85, size=n)
     x = lo + t * (hi - lo)
     z_lo = mu ** rng.uniform(0.0, 2.0, size=n) / (x - lo)
@@ -120,9 +121,15 @@ def cvxqp_kkt(family: str, n: int | str = "s", *, mu: float = 1e-4,
         raise ValueError(f"unknown g_mode {g_mode!r}")
 
     K = sp.bmat([[H, J.T], [J, -C]], format="csr")
-    # Newton RHS with a nonzero constraint part so the driver's RHS-shift
-    # path (reg_cpkrylov.m:152-160) is exercised, matching the fixtures.
-    b = rng.standard_normal(n + m)
+    # Newton RHS built from the actual KKT residuals at the simulated
+    # iterate: b1 = -(dual residual Qx + J'y - z_lo + z_hi), b2 = -(primal
+    # residual Jx - rhs_eq - delta*y).  The nonzero constraint part b2
+    # exercises the driver's RHS-shift path (reg_cpkrylov.m:152-160),
+    # matching the shipped fixtures.
+    y = rng.standard_normal(m)
+    b1 = -(Q @ x + J.T @ y - z_lo + z_hi)
+    b2 = -(J @ x - rhs_eq - delta * y)
+    b = np.concatenate([b1, b2])
     return SaddleSystem(name=f"{family}_{n}", A=H, B=J, C=C, G=G, b=b, K=K)
 
 

@@ -139,6 +139,49 @@ def test_operator_only_A_with_itref():
     assert out.solved and rel < 1e-2, (bool(out.solved), rel)
 
 
+def test_function_operator_wrap_is_cached():
+    """Repeated aslinearoperator(f) on the same callable must return the
+    SAME operator object: ``fn`` is a static (meta) field, so a fresh
+    closure per call would retrace _solve_core on every operator-A solve."""
+    def f(v):
+        return 2.0 * v
+
+    op1 = aslinearoperator(f, shape=(8, 8))
+    op2 = aslinearoperator(f, shape=(8, 8))
+    assert op1 is op2
+
+    def g(v):
+        return 3.0 * v
+
+    assert aslinearoperator(g, shape=(8, 8)) is not op1
+
+
+def test_operator_A_second_solve_hits_jit_cache():
+    """Two solves with the same user callable must compile exactly once."""
+    from cpkrylov_tpu import driver
+    import jax.numpy as jnp
+
+    s = ipm_kkt_system(n=80, m=30, mu=1e-2, seed=4)
+    Adense = jnp.asarray(s.A.toarray())
+
+    def amv(v):
+        return Adense @ v
+
+    opts = SolverOptions(atol=1e-6, rtol=1e-6, itmax=300)
+    M = make_preconditioner(s.G, s.B, s.C, panel=64)
+    out1 = solve("cpminres", s.b, aslinearoperator(amv, shape=(80, 80)),
+                 s.B, s.C, s.G, opts=opts, M=M)
+    size_after_first = None
+    if hasattr(driver._solve_core, "_cache_size"):
+        size_after_first = driver._solve_core._cache_size()
+    out2 = solve("cpminres", s.b, aslinearoperator(amv, shape=(80, 80)),
+                 s.B, s.C, s.G, opts=opts, M=M)
+    assert bool(out1.solved) == bool(out2.solved)
+    assert out1.niters == out2.niters
+    if size_after_first is not None:
+        assert driver._solve_core._cache_size() == size_after_first
+
+
 def test_profile_solve_reports_throughput():
     """Profiling subsystem (SURVEY.md §5): compile-excluded timing + nnz/s."""
     from cpkrylov_tpu.utils.profiling import profile_solve
