@@ -40,6 +40,28 @@ def _solver_registry():
     return registry
 
 
+def _maybe_pack_pgell(A, spmv_format: str, tile_rows: int, dtype):
+    """Pack an explicit square A for the Pallas SpMV path when selected.
+
+    Returns None when A should stay in its given form: operator-A, a
+    non-square/implicit operand, a layout the PGELL gate rejects, or a
+    format selection that resolves to CSR.
+    """
+    import scipy.sparse as sp
+
+    from .precond.cp import _select_spmv_format
+    from .ops.pgell import pack_sym_pgell
+
+    if not _select_spmv_format(spmv_format, dtype):
+        return None
+    if not (sp.issparse(A) or isinstance(A, np.ndarray)):
+        return None
+    A = sp.csr_matrix(A)
+    if A.shape[0] != A.shape[1]:
+        return None
+    return pack_sym_pgell(A, tile_rows=tile_rows, dtype=dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class SolveOutput:
     """Driver output: combined solution + stats (reg_cpkrylov.m:107-117)."""
@@ -84,6 +106,7 @@ def solve(method, b, A, B, C, G, *,
           opts: SolverOptions | None = None,
           precond_opts: PrecondOptions | None = None,
           backend: str = "auto", ordering: str = "rcm", panel: int = 256,
+          spmv_format: str = "auto", tile_rows: int = 2048,
           dtype=None, M: CPPrecond | None = None,
           debug: bool = False) -> SolveOutput:
     """Solve the regularized saddle-point system [A B'; B -C] [x1;x2] = b.
@@ -93,6 +116,11 @@ def solve(method, b, A, B, C, G, *,
     ``A`` may be any matrix-like or a LinearOperator; B, C, G must be
     explicit (host) matrices since they form the preconditioner
     (reg_cpkrylov.m:40-41).  Pass ``M`` to reuse a built preconditioner.
+
+    ``spmv_format`` selects the device layout for the hot-loop SpMVs
+    (every ``A*v`` / K_P multiply, cpminres.m:187 / opLDL2.m:170-175):
+    "auto" uses the RCM-permuted PGELL Pallas kernel on TPU for f32 solves
+    and XLA CSR otherwise; "csr" / "pgell" force a layout.
     """
     opts = opts or SolverOptions()
     if callable(method):
@@ -127,10 +155,12 @@ def solve(method, b, A, B, C, G, *,
     if M is None:
         M = make_preconditioner(G, B, C, options=precond_opts,
                                 backend=backend, ordering=ordering,
-                                panel=panel, dtype=dtype)
+                                panel=panel, dtype=dtype,
+                                spmv_format=spmv_format, tile_rows=tile_rows)
     ptime = time.perf_counter() - t0
 
-    A_op = aslinearoperator(A, dtype=dtype)
+    A_dev = _maybe_pack_pgell(A, spmv_format, tile_rows, dtype)
+    A_op = aslinearoperator(A_dev if A_dev is not None else A, dtype=dtype)
     C_op = aslinearoperator(C, dtype=dtype)
     B_op = aslinearoperator(B, dtype=dtype)
     shift = bool(np.any(b[n:]))                     # reg_cpkrylov.m:154

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.formats import CSR, ELL, Diagonal, csr_from_scipy
+from ..ops.pgell import PGELL, SymPermuted
 from ..ops import spmv
 
 
@@ -28,12 +29,17 @@ def _register(cls, data_fields, meta_fields):
     )
 
 
-@partial(_register, data_fields=("mat",), meta_fields=())
+@partial(_register, data_fields=("mat", "mat_t"), meta_fields=())
 @dataclasses.dataclass(frozen=True)
 class MatrixOperator:
-    """Wraps an explicit (sparse or dense) matrix as an operator."""
+    """Wraps an explicit (sparse or dense) matrix as an operator.
 
-    mat: object  # CSR | ELL | Diagonal | jax.Array
+    ``mat_t`` optionally stores the transpose in its own device layout for
+    formats without a native rmatvec (e.g. a PGELL pack of B' alongside B).
+    """
+
+    mat: object  # CSR | ELL | Diagonal | PGELL | SymPermuted | jax.Array
+    mat_t: object | None = None
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -43,6 +49,8 @@ class MatrixOperator:
         return spmv.matvec(self.mat, x)
 
     def rmatvec(self, y: jax.Array) -> jax.Array:
+        if self.mat_t is not None:
+            return spmv.matvec(self.mat_t, y)
         if isinstance(self.mat, CSR):
             return spmv.csr_rmatvec(self.mat, y)
         if isinstance(self.mat, Diagonal):
@@ -113,7 +121,7 @@ def aslinearoperator(obj, shape=None, dtype=None) -> object:
     """Coerce matrices / callables / operators to an operator."""
     if isinstance(obj, LinearOperator):
         return obj
-    if isinstance(obj, (CSR, ELL, Diagonal)):
+    if isinstance(obj, (CSR, ELL, Diagonal, PGELL, SymPermuted)):
         return MatrixOperator(obj)
     if callable(obj) and not hasattr(obj, "shape"):
         if shape is None:

@@ -45,7 +45,7 @@ def _register(cls, data_fields, meta_fields):
 
 @partial(_register,
          data_fields=("vals", "lane_idx", "bucket_map", "wstart", "lo"),
-         meta_fields=("shape", "tile_rows", "wp", "depth", "rng_len"))
+         meta_fields=("shape", "tile_rows", "wp", "depth", "rng_len", "nnz"))
 @dataclasses.dataclass(frozen=True)
 class PGELL:
     """Packed matrix; T row tiles, S = Wp * D slot-rows per tile."""
@@ -60,6 +60,7 @@ class PGELL:
     wp: int                # pages per window
     depth: int             # uniform slot depth D per page
     rng_len: int           # padded bucket-range length R (multiple of 8)
+    nnz: int = 0           # true stored nonzeros (excludes slot padding)
 
     @property
     def ntiles(self) -> int:
@@ -74,9 +75,19 @@ class PGELL:
         return self.tile_rows // LANE
 
     @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
     def nnz_density(self) -> float:
         """Fraction of slot capacity holding real entries."""
         return float((np.asarray(self.bucket_map) >= 0).mean())
+
+    @property
+    def device_bytes(self) -> int:
+        """HBM bytes one matvec must read (vals + int8 metadata + lo)."""
+        itemsize = np.dtype(self.vals.dtype).itemsize
+        return int(self.vals.size * (itemsize + 2) + self.lo.size * 4)
 
 
 def pack_pgell(mat, tile_rows: int = 2048, min_wp: int = 1,
@@ -177,7 +188,7 @@ def pack_pgell(mat, tile_rows: int = 2048, min_wp: int = 1,
         wstart=jnp.asarray(p0s.astype(np.int32)),
         lo=jnp.asarray(lo.astype(np.int32)),
         shape=(int(nrows), int(ncols)), tile_rows=int(tile_rows),
-        wp=int(wp), depth=int(D), rng_len=int(rng),
+        wp=int(wp), depth=int(D), rng_len=int(rng), nnz=int(csr.nnz),
     )
 
 
@@ -220,3 +231,86 @@ def pgell_matvec_reference(mat: PGELL, x: jax.Array) -> jax.Array:
 
     y = jax.vmap(tile)(jnp.arange(mat.ntiles)).reshape(-1)
     return y[: mat.shape[0]]
+
+
+# ---------------------------------------------------------------------------
+# Symmetric-permutation wrapper — makes PGELL usable on saddle-point KKT
+# matrices, whose natural ordering has terrible locality (the B block couples
+# row i with column n+i, so a raw PGELL window would span the whole matrix).
+# ---------------------------------------------------------------------------
+
+@partial(_register, data_fields=("inner", "perm", "iperm"), meta_fields=("shape",))
+@dataclasses.dataclass(frozen=True)
+class SymPermuted:
+    """A square matrix stored as ``inner = M[perm][:, perm]`` (PGELL).
+
+    ``M @ x == (inner @ x[perm])[iperm]`` for any square M under a symmetric
+    permutation, so one RCM reordering makes the banded-friendly PGELL layout
+    apply to general KKT systems (the reference's ``A*v`` / K_P SpMVs, e.g.
+    /root/reference/kernels/cpminres.m:187, ops/opLDL2.m:170-175).
+    """
+
+    inner: PGELL
+    perm: jax.Array    # (N,) int32
+    iperm: jax.Array   # (N,) int32, argsort(perm)
+    shape: Tuple[int, int]
+
+    @property
+    def nnz(self) -> int:
+        return self.inner.nnz
+
+    @property
+    def dtype(self):
+        return self.inner.dtype
+
+    @property
+    def nnz_density(self) -> float:
+        return self.inner.nnz_density
+
+    @property
+    def device_bytes(self) -> int:
+        # inner traffic + the two int32 index gathers and the gathered/
+        # scattered operand vectors (4 + 4 bytes per row each side).
+        return self.inner.device_bytes + 16 * self.perm.shape[0]
+
+
+def rcm_permutation(pattern) -> np.ndarray:
+    """Reverse-Cuthill-McKee ordering of a (symmetrized) sparsity pattern."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    csr = sp.csr_matrix(pattern)
+    sym = csr + csr.T
+    ones = sp.csr_matrix(
+        (np.ones_like(sym.tocsr().data), sym.tocsr().indices,
+         sym.tocsr().indptr), shape=sym.shape)
+    return np.asarray(reverse_cuthill_mckee(ones, symmetric_mode=True),
+                      dtype=np.int32)
+
+
+def pack_sym_pgell(mat, *, tile_rows: int = 2048, dtype=np.float32,
+                   perm: np.ndarray | None = None,
+                   max_bytes_ratio: float = 3.0) -> SymPermuted | None:
+    """RCM-permute a square scipy matrix and pack it as PGELL.
+
+    Returns None when the packed layout would be grossly inefficient:
+    slot-padded HBM traffic more than ``max_bytes_ratio`` x the CSR bytes
+    (12 B/nnz), i.e. when the matrix has no usable band structure even after
+    RCM.  The caller then stays on the XLA CSR path.
+    """
+    csr = sp.csr_matrix(mat)
+    if csr.shape[0] != csr.shape[1]:
+        return None
+    if perm is None:
+        perm = rcm_permutation(csr)
+    perm = np.asarray(perm, dtype=np.int32)
+    permuted = csr[perm][:, perm].tocsr()
+    tr = min(tile_rows, max(LANE, -(-csr.shape[0] // LANE) * LANE))
+    tr = min(tr, 126 * LANE)
+    packed = pack_pgell(permuted, tile_rows=tr, dtype=dtype)
+    if max_bytes_ratio > 0 and csr.nnz:
+        csr_bytes = csr.nnz * 12.0
+        if packed.device_bytes > max_bytes_ratio * csr_bytes:
+            return None
+    return SymPermuted(inner=packed, perm=jnp.asarray(perm),
+                       iperm=jnp.asarray(np.argsort(perm).astype(np.int32)),
+                       shape=tuple(int(s) for s in csr.shape))

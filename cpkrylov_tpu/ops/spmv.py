@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from .formats import BSR, CSR, ELL, Diagonal
+from .pgell import PGELL, SymPermuted, pgell_matvec_reference
 
 
 def csr_matvec(mat: CSR, x: jax.Array) -> jax.Array:
@@ -52,6 +53,21 @@ def bsr_matvec(mat: BSR, x: jax.Array) -> jax.Array:
     return yb.reshape(-1)
 
 
+def pgell_dispatch(mat: PGELL, x: jax.Array) -> jax.Array:
+    """PGELL matvec: the Pallas kernel on TPU, the identical-math jnp
+    reference elsewhere (the backend choice is static at trace time)."""
+    if jax.default_backend() == "tpu":
+        from .pallas_spmv import pgell_matvec
+
+        return pgell_matvec(mat, x)
+    return pgell_matvec_reference(mat, x)
+
+
+def sym_permuted_matvec(mat: SymPermuted, x: jax.Array) -> jax.Array:
+    yp = pgell_dispatch(mat.inner, jnp.take(x, mat.perm))
+    return jnp.take(yp, mat.iperm)
+
+
 def matvec(mat, x: jax.Array) -> jax.Array:
     if isinstance(mat, CSR):
         return csr_matvec(mat, x)
@@ -61,6 +77,10 @@ def matvec(mat, x: jax.Array) -> jax.Array:
         return bsr_matvec(mat, x)
     if isinstance(mat, Diagonal):
         return diag_matvec(mat, x)
+    if isinstance(mat, SymPermuted):
+        return sym_permuted_matvec(mat, x)
+    if isinstance(mat, PGELL):
+        return pgell_dispatch(mat, x)
     if isinstance(mat, jax.Array) or hasattr(mat, "ndim"):
         return jnp.asarray(mat) @ x
     raise TypeError(f"unsupported matrix type {type(mat)}")

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..config import PrecondOptions
 from ..ops.formats import CSR, csr_from_scipy
+from ..ops import spmv
 from ..ops.spmv import csr_matvec
 from .trisolve import (BlockTriFactor, ScanTriFactor, block_tri_solve,
                        build_block_tri, build_block_tri_upper,
@@ -81,7 +82,8 @@ class CPPrecond:
     """Constraint preconditioner: factors + K_P + behavioural options."""
 
     factor: FactorApply
-    kp: CSR               # exact K_P (for GHN caches and refinement residuals)
+    kp: object            # exact K_P, CSR or SymPermuted-PGELL (for GHN
+    #                       caches and refinement residuals)
     n: int
     m: int
     options: PrecondOptions
@@ -96,7 +98,7 @@ class CPPrecond:
     def _direct_solve(self, z: jax.Array) -> jax.Array:
         y = self.factor.solve(z)
         for _ in range(self.factor_nitref):
-            r = z - csr_matvec(self.kp, y)
+            r = z - spmv.matvec(self.kp, y)
             y = y + self.factor.solve(r)
         return y
 
@@ -128,12 +130,12 @@ class CPPrecond:
 
         if opts.residual_update:
             y2 = y[n:]
-            gv = csr_matvec(self.kp, jnp.concatenate([jnp.zeros_like(y[:n]), y2]))
+            gv = spmv.matvec(self.kp, jnp.concatenate([jnp.zeros_like(y[:n]), y2]))
             state = CPState(aty=gv[:n], cy=gv[n:])
 
         rnorm = jnp.zeros((), dtype=z.dtype)
         if opts.nitref > 0:
-            r = z - csr_matvec(self.kp, y)
+            r = z - spmv.matvec(self.kp, y)
             rnorm = jnp.linalg.norm(r)
             xnorm = jnp.linalg.norm(z)
 
@@ -145,7 +147,7 @@ class CPPrecond:
             def body(carry):
                 nit, yk, _, _ = carry
                 yk = yk + self._direct_solve(carry[2])
-                rk = z - csr_matvec(self.kp, yk)
+                rk = z - spmv.matvec(self.kp, yk)
                 return nit + 1, yk, rk, jnp.linalg.norm(rk)
 
             _, y, _, rnorm = jax.lax.while_loop(cond, body, (0, y, r, rnorm))
@@ -160,7 +162,7 @@ class CPPrecond:
     def mul_kp(self, z: jax.Array) -> jax.Array:
         """Multiply by K_P itself — the reference's ``divide`` mode, i.e.
         ``M \\ z`` undoing a preconditioner application (opLDL2.m:193-195)."""
-        return csr_matvec(self.kp, z)
+        return spmv.matvec(self.kp, z)
 
     def to_dense_inverse(self) -> jax.Array:
         """Materialize K_P^{-1} column by column — the reference's
@@ -254,16 +256,36 @@ def build_factor_apply(fac, N: int, panel: int, dtype) -> FactorApply:
     )
 
 
+def _select_spmv_format(spmv_format: str, dtype) -> bool:
+    """True when K_P (and the driver's A) should be packed as PGELL."""
+    import jax as _jax
+
+    if spmv_format == "pgell":
+        return True
+    if spmv_format == "csr":
+        return False
+    if spmv_format != "auto":
+        raise ValueError(f"unknown spmv_format {spmv_format!r}")
+    # auto: the Pallas path runs in f32 on a TPU backend; f64 stays on the
+    # XLA CSR path (reference-parity mode — TPUs have no native f64).
+    return (_jax.default_backend() == "tpu"
+            and np.dtype(dtype) == np.float32)
+
+
 def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
                         backend: str = "auto", ordering: str = "rcm",
                         panel: int = 256, reg_value: float = 1e-10,
                         factor_nitref: int | None = None,
+                        spmv_format: str = "auto", tile_rows: int = 2048,
                         dtype=np.float64) -> CPPrecond:
     """Build the constraint preconditioner (host factorization + device pack).
 
     Equivalent of the driver's ``M = opLDL2(G, B, -C)``
     (/root/reference/reg_cpkrylov.m:131): assemble K_P once, factorize once,
-    reuse for every application.
+    reuse for every application.  ``spmv_format`` controls the device layout
+    of K_P for the GHN/refinement SpMVs (opLDL2.m:170-175, 174-186):
+    "auto" packs an RCM-permuted PGELL for the Pallas kernel on TPU+f32 and
+    falls back to CSR elsewhere; "csr"/"pgell" force a layout.
     """
     options = options or PrecondOptions()
     n = G.shape[0]
@@ -279,6 +301,12 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
         # LDL without dynamic pivoting needs one refinement step to reach
         # MA57-class solve accuracy; splu pivots and does not.
         factor_nitref = 1 if isinstance(fac, ldl_host.HostLDL) else 0
-    kp_dev = csr_from_scipy(ksp.tocsr(), dtype=dtype)
+    kp_dev = None
+    if _select_spmv_format(spmv_format, dtype):
+        from ..ops.pgell import pack_sym_pgell
+
+        kp_dev = pack_sym_pgell(ksp, tile_rows=tile_rows, dtype=dtype)
+    if kp_dev is None:
+        kp_dev = csr_from_scipy(ksp.tocsr(), dtype=dtype)
     return CPPrecond(factor=factor, kp=kp_dev, n=int(n), m=int(m),
                      options=options, factor_nitref=int(factor_nitref))

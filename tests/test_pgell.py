@@ -64,3 +64,63 @@ def test_pallas_kernel_interpret(rows, k, band, tr):
     y = np.asarray(pgell_matvec(mat, x, interpret=True))
     np.testing.assert_allclose(y, (A @ x.astype(np.float64)).astype(
         np.float32), rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Solve-path integration (VERDICT r1 item 1): the production solve must be
+# able to run its hot-loop SpMVs through the PGELL layout.
+# ---------------------------------------------------------------------------
+
+def test_sym_permuted_matvec_matches_scipy():
+    from cpkrylov_tpu.ops.pgell import pack_sym_pgell
+    from cpkrylov_tpu.ops.spmv import matvec
+
+    A = _banded_random(500, 500, 5, 40, seed=11)
+    A = A + A.T  # symmetric, general pattern
+    mat = pack_sym_pgell(A, tile_rows=256, dtype=np.float64,
+                         max_bytes_ratio=0)  # no gate
+    assert mat is not None
+    x = np.random.default_rng(7).standard_normal(500)
+    y = np.asarray(matvec(mat, x))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-10, atol=1e-10)
+
+
+def test_pgell_gate_rejects_random_pattern():
+    from cpkrylov_tpu.ops.pgell import pack_sym_pgell
+
+    # uniformly random pattern has no band structure even after RCM
+    rng = np.random.default_rng(0)
+    n, nnz = 4096, 4096 * 4
+    A = sp.csr_matrix(
+        (rng.standard_normal(nnz),
+         (rng.integers(0, n, nnz), rng.integers(0, n, nnz))), shape=(n, n))
+    assert pack_sym_pgell(A, tile_rows=1024, dtype=np.float32,
+                          max_bytes_ratio=3.0) is None
+
+
+def test_matrix_operator_mat_t_rmatvec():
+    from cpkrylov_tpu.operators.linop import MatrixOperator
+    from cpkrylov_tpu.ops.formats import csr_from_scipy
+
+    B = _banded_random(200, 300, 4, 30, seed=2)
+    op = MatrixOperator(csr_from_scipy(B), mat_t=csr_from_scipy(B.T.tocsr()))
+    y = np.random.default_rng(1).standard_normal(200)
+    np.testing.assert_allclose(np.asarray(op.rmatvec(y)), B.T @ y,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_solve_pgell_format_matches_csr(cvxqp1):
+    """Forced-PGELL solve (jnp reference path on CPU) converges like CSR."""
+    from cpkrylov_tpu import SolverOptions, solve
+    from cpkrylov_tpu.ops.pgell import SymPermuted
+
+    opts = SolverOptions(atol=1e-6, rtol=1e-6, itmax=200)
+    base = solve("cpminres", cvxqp1.b, cvxqp1.A, cvxqp1.B, cvxqp1.C,
+                 cvxqp1.G, opts=opts, spmv_format="csr")
+    out = solve("cpminres", cvxqp1.b, cvxqp1.A, cvxqp1.B, cvxqp1.C,
+                cvxqp1.G, opts=opts, spmv_format="pgell")
+    assert out.solved
+    assert abs(out.niters - base.niters) <= 2
+    ref = np.asarray(base.x)
+    np.testing.assert_allclose(np.asarray(out.x), ref,
+                               rtol=0, atol=1e-5 * np.linalg.norm(ref))
