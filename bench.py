@@ -1,31 +1,35 @@
-"""Benchmark: SpMV throughput (nnz/s) per chip — the north-star kernel metric.
+"""Composite benchmark: SpMV + preconditioner-apply throughput (nnz/s per
+chip) and time-to-tol on a production-scale banded saddle-point solve — the
+BASELINE.json metric ("SpMV+precond-apply nnz/s per chip; time-to-tol").
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}; the full
+breakdown (time-to-tol, iterations, bytes/iter, achieved GB/s, speed-of-light
+fraction) is written to benchmarks/BENCH_REPORT.json.
 
-``vs_baseline`` is measured nnz/s divided by the BASELINE.md target of 70%
-of speed-of-light, where SoL is the HBM-bandwidth bound for ELL SpMV
-(data + column-index reads + operand gather + amortized result write).
-A value >= 1.0 means the per-chip target is met.
-
-Runs on whatever backend the environment provides (the graft driver runs it
-on one real TPU chip via the axon plugin); falls back to CPU only if no
-accelerator is available.
+Honesty notes (round-1 fix):
+  * ``block_until_ready`` is a NO-OP on the axon TPU tunnel (measured: a
+    512 MB x 20-op chain "blocks" in 0.5 ms, executes in seconds).  Every
+    timing here ends with a one-element host fetch (utils/timing.sync); the
+    ~35-40 ms tunnel round trip is negligible against multi-second solves.
+  * ``vs_baseline`` is the achieved-HBM-bandwidth fraction divided by the
+    0.70-of-speed-of-light target, so it is physically capped at ~1.43.
+    The byte model charges the *actual device array sizes* touched per
+    iteration (PGELL slot padding included), not an idealized per-nnz cost.
 """
 from __future__ import annotations
 
 import json
+import pathlib
 import sys
 import time
 
 import numpy as np
 
-
-# Rough HBM bandwidth per chip for SoL accounting.
+# Peak HBM bandwidth per chip for speed-of-light accounting.
 _BW_BYTES = {
-    "tpu v5 lite": 819e9,   # v5e: ~819 GB/s
-    "tpu v5": 1228e9,       # v5p: ~1.2 TB/s (overridden by exact match above)
-    "tpu v4": 1200e9,
+    "tpu v5 lite": 819e9,   # v5e
+    "tpu v5": 2765e9,       # v5p
+    "tpu v4": 1228e9,
     "cpu": 50e9,            # ballpark, keeps vs_baseline meaningful on CPU
 }
 
@@ -38,88 +42,140 @@ def _chip_bandwidth(device) -> float:
     return _BW_BYTES["cpu"]
 
 
-def _build_ell(rows: int, k: int, band: int, dtype, seed: int = 0):
-    """Banded random ELL matrix: locality comparable to an RCM-ordered KKT."""
-    rng = np.random.default_rng(seed)
-    data = rng.standard_normal((rows, k)).astype(dtype)
-    offs = rng.integers(-band, band + 1, size=(rows, k))
-    cols = (np.arange(rows)[:, None] + offs).clip(0, rows - 1).astype(np.int32)
-    return data, cols
+def _mat_bytes(mat, nrows: int) -> float:
+    """HBM bytes one matvec reads: matrix arrays + ~3 vector passes."""
+    if hasattr(mat, "device_bytes"):          # PGELL / SymPermuted
+        m = mat.device_bytes
+    elif hasattr(mat, "data"):                # CSR: data + col idx + row ids
+        m = mat.data.size * (np.dtype(mat.data.dtype).itemsize + 8)
+    elif hasattr(mat, "diag"):
+        m = mat.diag.size * np.dtype(mat.diag.dtype).itemsize
+    else:
+        m = 0
+    itemsize = 4
+    return float(m) + 3.0 * itemsize * nrows
+
+
+def _factor_traffic(tf) -> float:
+    """HBM bytes one triangular solve reads/writes for a prepared factor."""
+    isz = 4
+    if hasattr(tf, "w_blocks"):   # ReducedScanTriFactor: r-state scan
+        nb = tf.nblocks
+        levels = max(1, int(np.ceil(np.log2(max(nb, 2)))))
+        itemsize = np.dtype(tf.w_blocks.dtype).itemsize
+        per_level = nb * tf.r * tf.r * itemsize
+        return float(tf.inv_diag.size * itemsize
+                     + 2.0 * tf.w_blocks.size * itemsize
+                     + 2.0 * per_level * levels)
+    if hasattr(tf, "m_blocks"):               # ScanTriFactor: log-depth scan
+        nb = tf.nblocks
+        levels = max(1, int(np.ceil(np.log2(max(nb, 2)))))
+        per_level = tf.m_blocks.size * np.dtype(tf.m_blocks.dtype).itemsize
+        return float(tf.inv_diag.size * isz + 2.0 * per_level * levels)
+    # BlockTriFactor: dense panel inverses + ELL off-entries, read once.
+    return float(tf.inv_diag.size * isz
+                 + tf.off_data.size * (isz + 4)      # values + int32 cols
+                 + 2.0 * tf.off_cols.shape[0] * isz)  # rhs/x vector passes
+
+
+def _bytes_per_iter(M, a_mat, c_mat, work) -> float:
+    """Composite per-iteration HBM traffic of the CPMINRES hot loop."""
+    n, m = M.n, M.m
+    N = n + m
+    per_solve = (_factor_traffic(M.factor.tf1) + _factor_traffic(M.factor.tf2)
+                 + 3.0 * 4 * N          # dinv scale + 2 permutation gathers
+                 + 4.0 * 4 * N)         # gather/scatter index + operand
+    kp_bytes = _mat_bytes(M.kp, N)
+    vec = 4.0 * N
+    return (_mat_bytes(a_mat, n) + _mat_bytes(c_mat, m)
+            + work.solves_per_iter * per_solve
+            + work.kp_spmv_per_iter * kp_bytes
+            + 12.0 * vec)               # recurrence axpys/dots (~4 passes)
 
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
+
+    from cpkrylov_tpu import PrecondOptions, SolverOptions, solve
+    from cpkrylov_tpu.precond.cp import make_preconditioner
+    from cpkrylov_tpu.utils import fixtures
+    from cpkrylov_tpu.utils.profiling import work_model
+    from cpkrylov_tpu.utils.timing import sync
 
     dev = jax.devices()[0]
-    on_tpu = "tpu" in getattr(dev, "device_kind", "cpu").lower() or \
-        dev.platform not in ("cpu",)
-    dtype = np.float32
+    on_tpu = dev.platform != "cpu"
+    dtype = np.float32 if on_tpu else np.float64
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
 
-    rows = 1 << 20 if on_tpu else 1 << 16
-    k = 8
-    band = 1024
-    nnz = rows * k
+    n, m = (1_000_000, 250_000) if on_tpu else (100_000, 25_000)
+    sysm = fixtures.banded_saddle_system(n, m, bandwidth=3, with_oracle=False)
+    nnz_a = int(sysm.A.nnz)
+    nnz_c = int(sysm.C.nnz)
 
-    x0 = jnp.asarray(np.random.default_rng(1).standard_normal(rows)
-                     .astype(dtype))
+    popts = PrecondOptions(residual_update=True, nitref=1, force_itref=True)
+    opts = SolverOptions(atol=0.0, rtol=1e-4, itmax=200,
+                         stagwin=25 if on_tpu else 0)
 
-    if on_tpu:
-        # Pallas PGELL kernel (the production TPU path).
-        import scipy.sparse as sp
+    M = make_preconditioner(sysm.G, sysm.B, sysm.C, options=popts,
+                            dtype=dtype)
+    kw = dict(opts=opts, precond_opts=popts, M=M, dtype=dtype)
 
-        from cpkrylov_tpu.ops.pgell import pack_pgell
-        from cpkrylov_tpu.ops.pallas_spmv import pgell_matvec
+    out = solve("cpminres", sysm.b, sysm.A, sysm.B, sysm.C, sysm.G, **kw)
+    sync(out.x1)                                   # compile + warm-up
+    best = float("inf")
+    iters = int(out.niters)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = solve("cpminres", sysm.b, sysm.A, sysm.B, sysm.C, sysm.G, **kw)
+        best = min(best, time.perf_counter() - t0)  # solve() syncs internally
 
-        data_np, cols_np = _build_ell(rows, k, band, dtype)
-        r = np.repeat(np.arange(rows), k)
-        A = sp.csr_matrix(
-            (data_np.reshape(-1), (r, cols_np.reshape(-1))),
-            shape=(rows, rows))
-        nnz = A.nnz
-        mat = pack_pgell(A, tile_rows=2048, dtype=dtype)
+    work = work_model(M, nnz_a, nnz_c)
+    nnz_per_s = iters * work.nnz_per_iter / best
 
-        def spmv(x):
-            return pgell_matvec(mat, x)
-    else:
-        data_np, cols_np = _build_ell(rows, k, band, dtype)
-        data = jnp.asarray(data_np)
-        cols = jnp.asarray(cols_np)
+    # Device layout actually used for A in this solve (PGELL on TPU f32).
+    from cpkrylov_tpu.driver import _maybe_pack_pgell
+    a_dev = _maybe_pack_pgell(sysm.A, "auto", 2048, dtype)
+    if a_dev is None:
+        from cpkrylov_tpu.ops.formats import csr_from_scipy
+        a_dev = csr_from_scipy(sysm.A.tocsr(), dtype=dtype)
+    from cpkrylov_tpu.ops.formats import csr_from_scipy
+    c_dev = csr_from_scipy(sysm.C.tocsr(), dtype=dtype)
 
-        @jax.jit
-        def spmv(x):
-            return (data * jnp.take(x, cols, mode="clip")).sum(axis=1)
+    bpi = _bytes_per_iter(M, a_dev, c_dev, work)
+    achieved_gbps = bpi * iters / best / 1e9
+    bw = _chip_bandwidth(dev)
+    sol_fraction = achieved_gbps * 1e9 / bw
+    vs_baseline = sol_fraction / 0.70
 
-    # Warmup / compile.
-    spmv(x0).block_until_ready()
-
-    # Chain each repetition's operand to the previous result so no rep can
-    # be elided or overlapped away: the measured time is a true serial
-    # dependency chain of `reps` SpMVs (values are N(0,1) with k=8 per row,
-    # so the iterated norm stays finite in f32 over 50 applications).
-    reps = 50
-    y = x0
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        y = spmv(y)
-    y.block_until_ready()
-    elapsed = time.perf_counter() - t0
-
-    total_nnz = nnz * reps
-    nnz_per_s = total_nnz / elapsed
-
-    # SoL model: per nnz, read 4B data + 4B col index + 4B gathered operand,
-    # plus 4B/k amortized result write.
-    bytes_per_nnz = 4 + 4 + 4 + 4.0 / k
-    sol = _chip_bandwidth(dev) / bytes_per_nnz
-    target = 0.70 * sol
+    report = {
+        "device": str(dev.device_kind),
+        "workload": f"banded_saddle n={n} m={m} bw=3, CPMINRES "
+                    f"rtol=1e-4, residual_update+nitref=1 (f{np.dtype(dtype).itemsize*8})",
+        "solved": bool(out.solved),
+        "iters": iters,
+        "time_to_tol_s": round(best, 4),
+        "final_resid": float(out.resid_history[-1]),
+        "work_nnz_per_iter": float(work.nnz_per_iter),
+        "composite_gnnz_per_s": round(nnz_per_s / 1e9, 4),
+        "bytes_per_iter": float(bpi),
+        "achieved_gbps": round(achieved_gbps, 2),
+        "hbm_peak_gbps": bw / 1e9,
+        "sol_fraction": round(sol_fraction, 4),
+        "a_format": type(a_dev).__name__,
+        "kp_format": type(M.kp).__name__,
+    }
+    rpt_path = pathlib.Path(__file__).parent / "benchmarks" / "BENCH_REPORT.json"
+    try:
+        rpt_path.write_text(json.dumps(report, indent=1))
+    except OSError:
+        pass
 
     print(json.dumps({
-        "metric": f"pgell_spmv_nnz_per_s[{dev.device_kind}]"
-                  if on_tpu else f"ell_spmv_nnz_per_s[{dev.device_kind}]",
-        "value": round(nnz_per_s / 1e9, 3),
+        "metric": f"spmv_precond_composite_nnz_per_s[{dev.device_kind}]",
+        "value": round(nnz_per_s / 1e9, 4),
         "unit": "Gnnz/s",
-        "vs_baseline": round(nnz_per_s / target, 3),
+        "vs_baseline": round(vs_baseline, 4),
     }))
 
 

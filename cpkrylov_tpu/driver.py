@@ -168,7 +168,10 @@ def solve(method, b, A, B, C, G, *,
 
     t1 = time.perf_counter()
     res, x1, x2 = _solve_core(method, b_dev, A_op, C_op, B_op, M, opts, shift)
-    x1.block_until_ready()
+    # block_until_ready is a no-op on some remote backends (axon tunnel);
+    # a one-element host fetch is the only honest completion barrier.
+    from .utils.timing import sync
+    sync(x1, x2)
     stime = time.perf_counter() - t1
 
     if debug:

@@ -28,7 +28,7 @@ def _kernel(wstart_ref, lo_ref,              # scalar-prefetch (T,), (T, B)
             *, wp: int, depth: int, s_pad: int, buckets: int,
             rng_len: int):
     t = pl.program_id(0)
-    p0 = wstart_ref[t]
+    p0 = pl.multiple_of(wstart_ref[t], 8)   # host 8-aligns window starts
     s_rows = wp * depth
 
     copy = pltpu.make_async_copy(
@@ -58,7 +58,7 @@ def _kernel(wstart_ref, lo_ref,              # scalar-prefetch (T,), (T, B)
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pgell_matvec(mat: PGELL, x: jax.Array, interpret: bool = False):
     """y = mat @ x via the Pallas kernel."""
-    x2d = pad_x_pages(x, mat.shape[1], mat.wp).astype(mat.vals.dtype)
+    x2d = pad_x_pages(x, mat).astype(mat.vals.dtype)
     T = mat.ntiles
     S = mat.s_rows
     B = mat.buckets

@@ -45,7 +45,8 @@ def _register(cls, data_fields, meta_fields):
 
 @partial(_register,
          data_fields=("vals", "lane_idx", "bucket_map", "wstart", "lo"),
-         meta_fields=("shape", "tile_rows", "wp", "depth", "rng_len", "nnz"))
+         meta_fields=("shape", "tile_rows", "wp", "depth", "rng_len", "nnz",
+                      "xpages"))
 @dataclasses.dataclass(frozen=True)
 class PGELL:
     """Packed matrix; T row tiles, S = Wp * D slot-rows per tile."""
@@ -61,6 +62,7 @@ class PGELL:
     depth: int             # uniform slot depth D per page
     rng_len: int           # padded bucket-range length R (multiple of 8)
     nnz: int = 0           # true stored nonzeros (excludes slot padding)
+    xpages: int = 0        # padded x pages (covers every 8-aligned window)
 
     @property
     def ntiles(self) -> int:
@@ -109,7 +111,10 @@ def pack_pgell(mat, tile_rows: int = 2048, min_wp: int = 1,
     ntiles = max(1, -(-nrows // tile_rows))
     nb = tile_rows // LANE
 
-    # Per-tile page spans -> global Wp and window starts.
+    # Per-tile page spans -> global Wp and window starts.  Window starts and
+    # Wp are 8-aligned: the kernel's dynamic HBM->VMEM copy of the (Wp, 128)
+    # window faults on real TPUs when the slice is not sublane-tile aligned
+    # (measured on v5e: wp=17 kernel-faults, wp=24 with aligned starts works).
     spans, p0_list = [], []
     for t in range(ntiles):
         r0, r1 = t * tile_rows, min((t + 1) * tile_rows, nrows)
@@ -118,11 +123,14 @@ def pack_pgell(mat, tile_rows: int = 2048, min_wp: int = 1,
             pmin, pmax = int(cols.min()) // LANE, int(cols.max()) // LANE
         else:
             pmin = pmax = 0
+        pmin = (pmin // 8) * 8
         spans.append(pmax - pmin + 1)
         p0_list.append(pmin)
     wp = max(min_wp, max(spans))
-    p0s = np.asarray([min(p0, max(0, npages - wp)) for p0 in p0_list],
-                     np.int64)
+    wp = -(-wp // 8) * 8
+    p0s = np.asarray(p0_list, np.int64)
+    # Total padded x pages: every window must fit.
+    xpages = int(max(-(-npages // 8) * 8, (p0s + wp).max() if ntiles else wp))
 
     coo = csr.tocoo()
     er = coo.row.astype(np.int64)
@@ -189,13 +197,14 @@ def pack_pgell(mat, tile_rows: int = 2048, min_wp: int = 1,
         lo=jnp.asarray(lo.astype(np.int32)),
         shape=(int(nrows), int(ncols)), tile_rows=int(tile_rows),
         wp=int(wp), depth=int(D), rng_len=int(rng), nnz=int(csr.nnz),
+        xpages=xpages,
     )
 
 
-def pad_x_pages(x: jax.Array, ncols: int, wp: int) -> jax.Array:
-    """Reshape x to padded (P, 128) pages covering every window."""
-    npages = -(-max(ncols, 1) // LANE)
-    npages_pad = max(npages, wp)
+def pad_x_pages(x: jax.Array, mat: "PGELL") -> jax.Array:
+    """Reshape x to padded (P, 128) pages covering every tile window."""
+    npages = -(-max(mat.shape[1], 1) // LANE)
+    npages_pad = max(npages, mat.wp, mat.xpages)
     total = npages_pad * LANE
     xp = jnp.zeros(total, x.dtype).at[: x.shape[0]].set(x)
     return xp.reshape(npages_pad, LANE)
@@ -203,7 +212,7 @@ def pad_x_pages(x: jax.Array, ncols: int, wp: int) -> jax.Array:
 
 def pgell_matvec_reference(mat: PGELL, x: jax.Array) -> jax.Array:
     """jnp reference implementation (for tests; mirrors the kernel math)."""
-    x2d = pad_x_pages(x, mat.shape[1], mat.wp)
+    x2d = pad_x_pages(x, mat)
     S = mat.s_rows
     B = mat.buckets
     D = mat.depth

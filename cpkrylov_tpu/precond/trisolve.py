@@ -56,53 +56,79 @@ class BlockTriFactor:
                 + self.nblocks * self.panel * self.panel)
 
 
+def _invert_panels_f(diag_f: np.ndarray) -> np.ndarray:
+    """Invert a stack of lower-triangular panels stored as an F-ordered
+    (panel, panel, nblocks) array, in place slice by slice.
+
+    The F layout matters: LAPACK ``trtri`` requires Fortran-contiguous
+    input, and f2py silently *copies* every C-ordered (panel, panel) slice
+    — measured 5x slower than zero-copy F slices at production sizes.
+    Returns the same buffer; ``.transpose(2, 0, 1)`` gives the (nb, p, p)
+    stack as a view.
+    """
+    from scipy.linalg import get_lapack_funcs
+
+    trtri, = get_lapack_funcs(("trtri",), (diag_f[:, :, 0],))
+    for b in range(diag_f.shape[2]):
+        out, info = trtri(diag_f[:, :, b], lower=1, overwrite_c=1)
+        if info != 0:
+            raise ZeroDivisionError(
+                f"singular diagonal panel {b} (trtri info={info})")
+        if not np.shares_memory(out, diag_f):
+            diag_f[:, :, b] = out
+    return diag_f
+
+
+def _coo_canonical(T):
+    """Canonical (row, col, data) triplets of a scipy matrix, int64 indices."""
+    import scipy.sparse as sp
+
+    T = sp.csr_matrix(T)
+    T.sum_duplicates()
+    coo = T.tocoo()
+    return T, coo.row.astype(np.int64), coo.col.astype(np.int64), coo.data
+
+
 def build_block_tri(T, panel: int = 256, dtype=None) -> BlockTriFactor:
     """Prepare a scipy lower-triangular matrix (diagonal included).
 
     ``T`` must be lower triangular with an explicit (nonzero) diagonal; pass
-    ``L + I`` for unit-diagonal factors stored strictly-lower.
+    ``L + I`` for unit-diagonal factors stored strictly-lower.  All packing
+    is vectorized numpy (O(nnz)), so setup stays linear at 10M+ rows.
     """
-    import scipy.sparse as sp
-    import scipy.linalg as sla
-
-    T = sp.csr_matrix(T)
+    T, er, ec, ev = _coo_canonical(T)
     n = T.shape[0]
     dtype = dtype or T.dtype
     nblocks = max(1, -(-n // panel))
     n_pad = nblocks * panel
 
-    inv_diag = np.zeros((nblocks, panel, panel), dtype=dtype)
-    indptr = T.indptr
-    indices = T.indices
-    data = T.data
+    blk = er // panel
+    r_loc = er - blk * panel
+    in_blk = ec >= blk * panel
 
-    # Split entries into diagonal-panel vs off-panel per row.
-    off_rows = [None] * n
-    diag_dense = np.zeros((panel, panel), dtype=np.float64)
-    max_off = 1
-    for blk in range(nblocks):
-        r0 = blk * panel
-        r1 = min(r0 + panel, n)
-        diag_dense[:] = 0.0
-        np.fill_diagonal(diag_dense, 1.0)  # padding rows solve to identity
-        for i in range(r0, r1):
-            cols = indices[indptr[i]:indptr[i + 1]]
-            vals = data[indptr[i]:indptr[i + 1]]
-            in_blk = cols >= r0
-            diag_dense[i - r0, cols[in_blk] - r0] = vals[in_blk]
-            off = (~in_blk).nonzero()[0]
-            off_rows[i] = (cols[off], vals[off])
-            max_off = max(max_off, off.size)
-        inv_diag[blk] = sla.solve_triangular(
-            diag_dense, np.eye(panel), lower=True
-        ).astype(dtype)
+    # Dense diagonal panels (padding rows solve to identity); F-ordered
+    # (p, p, nb) stack so LAPACK trtri inverts each slice zero-copy.
+    diag_f = np.zeros((panel, panel, nblocks), dtype=np.float64, order="F")
+    idx = np.arange(panel)
+    diag_f[idx, idx, :] = 1.0
+    d = in_blk
+    diag_f[r_loc[d], ec[d] - blk[d] * panel, blk[d]] = ev[d]
+    inv_diag = _invert_panels_f(diag_f).transpose(2, 0, 1).astype(dtype)
+    del diag_f
 
+    # Off-panel entries in ELL layout: position within row via cumcount.
+    o = ~in_blk
+    orow, ocol, oval = er[o], ec[o], ev[o]
+    counts = np.bincount(orow, minlength=n_pad)
+    max_off = max(1, int(counts.max()) if counts.size else 1)
+    order = np.argsort(orow, kind="stable")
+    starts = np.zeros(n_pad + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(orow.size) - starts[orow[order]]
     off_data = np.zeros((n_pad, max_off), dtype=dtype)
     off_cols = np.zeros((n_pad, max_off), dtype=np.int32)
-    for i in range(n):
-        cols, vals = off_rows[i]
-        off_data[i, : vals.size] = vals
-        off_cols[i, : cols.size] = cols
+    off_data[orow[order], pos] = oval[order]
+    off_cols[orow[order], pos] = ocol[order]
 
     return BlockTriFactor(
         inv_diag=jnp.asarray(inv_diag),
@@ -175,15 +201,13 @@ class ScanTriFactor:
 
 def build_scan_tri(T, panel: int = 128, dtype=None) -> ScanTriFactor | None:
     """Prepare T for the scan solve; None when entries reach beyond the
-    preceding panel (the caller then falls back to ``build_block_tri``)."""
-    import scipy.sparse as sp
-    import scipy.linalg as sla
-
-    T = sp.csr_matrix(T)
+    preceding panel (the caller then falls back to ``build_block_tri``).
+    Packing is vectorized numpy scatter + batched LAPACK/BLAS (O(nnz) +
+    O(nblocks * panel^3) dense work), linear-time at production sizes."""
+    T, er, ec, ev = _coo_canonical(T)
     n = T.shape[0]
     dtype = dtype or T.dtype
-    coo = T.tocoo()
-    reach = int((coo.row - coo.col).max()) if coo.nnz else 0
+    reach = int((er - ec).max()) if ev.size else 0
     # Entries must stay within the previous panel for EVERY block boundary:
     # row r in block b may only reference columns >= (b-1)*panel, which is
     # guaranteed iff the subdiagonal reach is at most panel.
@@ -191,28 +215,36 @@ def build_scan_tri(T, panel: int = 128, dtype=None) -> ScanTriFactor | None:
         return None
 
     nblocks = max(1, -(-n // panel))
-    n_pad = nblocks * panel
-    Tp = sp.csr_matrix((coo.data, (coo.row, coo.col)), shape=(n_pad, n_pad))
-    # Padding rows solve to identity.
-    pad = np.arange(n, n_pad)
-    if pad.size:
-        Tp = Tp + sp.csr_matrix(
-            (np.ones(pad.size), (pad, pad)), shape=(n_pad, n_pad))
-    Tp = Tp.tocsc()
+    blk = er // panel
+    r_loc = er - blk * panel
+    c_blk = ec // panel
+    on_diag = c_blk == blk               # reach <= panel => diag or sub only
 
-    inv_diag = np.zeros((nblocks, panel, panel), dtype=dtype)
+    diag_f = np.zeros((panel, panel, nblocks), dtype=np.float64, order="F")
+    idx = np.arange(panel)
+    diag_f[idx, idx, :] = 1.0            # padding rows solve to identity
+    d = on_diag
+    # The scatter overwrites the unit diagonal wherever T stores one.
+    diag_f[r_loc[d], ec[d] - blk[d] * panel, blk[d]] = ev[d]
+    s = ~on_diag
+    # sub-blocks are nonzero only in their (reach x panel-trailing) corner:
+    # row r = b*p + rl references c < b*p only when rl < reach, and
+    # c >= r - reach >= b*p - reach; store just that (reach, reach) corner.
+    rr = max(1, min(reach, panel))
+    sub_c = np.zeros((nblocks, rr, rr), dtype=np.float64)
+    sub_c[blk[s], r_loc[s], ec[s] - (blk[s] - 1) * panel - (panel - rr)] = ev[s]
+
+    inv64 = _invert_panels_f(diag_f).transpose(2, 0, 1)   # (nb, p, p) view
     m_blocks = np.zeros((nblocks, panel, panel), dtype=dtype)
-    eye = np.eye(panel)
-    for blk in range(nblocks):
-        r0 = blk * panel
-        diag = Tp[r0:r0 + panel, r0:r0 + panel].toarray()
-        inv = sla.solve_triangular(diag, eye, lower=True)
-        inv_diag[blk] = inv.astype(dtype)
-        if blk:
-            sub = Tp[r0:r0 + panel, r0 - panel:r0].toarray()
-            m_blocks[blk] = (-inv @ sub).astype(dtype)
+    if nblocks > 1:
+        # Corner-restricted batched GEMM: O(nb * p * reach^2) build instead
+        # of O(nb * p^3).
+        prod = np.matmul(np.ascontiguousarray(inv64[1:, :, :rr]),
+                         sub_c[1:])
+        m_blocks[1:, :, panel - rr:] = -prod.astype(dtype)
+    del sub_c
 
-    return ScanTriFactor(inv_diag=jnp.asarray(inv_diag),
+    return ScanTriFactor(inv_diag=jnp.asarray(inv64.astype(dtype)),
                          m_blocks=jnp.asarray(m_blocks),
                          n=int(n), panel=int(panel))
 
@@ -235,9 +267,115 @@ def scan_tri_solve(tf: ScanTriFactor, b: jax.Array) -> jax.Array:
     return x.reshape(-1)[: tf.n]
 
 
+@partial(_register,
+         data_fields=("inv_diag", "w_blocks"),
+         meta_fields=("n", "panel", "r"))
+@dataclasses.dataclass(frozen=True)
+class ReducedScanTriFactor:
+    """Reduced-state parallel-prefix factor for small subdiagonal reach.
+
+    The panel recurrence x_i = inv_i b_i - (inv_i S_i) x_{i-1} only reads
+    the LAST ``r = reach`` entries of x_{i-1} (S_i's nonzero columns), so the
+    scan state can be the r-vector s_i = tail(x_i) instead of the full
+    panel:
+
+        c_i = inv_i b_i                       (batched (p, p) matvec, MXU)
+        s_i = Mr_i s_{i-1} + tail(c_i),  Mr_i = -tail_rows(inv_i S_i)
+        x_i = c_i - W_i s_{i-1},         W_i  = inv_i S_i   ((p, r) blocks)
+
+    vs the full ScanTriFactor this swaps log2(nb) passes over (nb, p, p)
+    composed products for ONE pass over inv_diag plus a scan over (nb, r, r)
+    — a >10x HBM traffic cut per solve when r << p (the production banded
+    KKT factors have r of a few tens at panel 128+).
+    """
+
+    inv_diag: jax.Array   # (nb, p, p)
+    w_blocks: jax.Array   # (nb, p, r) = inv_i @ S_i (nonzero column block)
+    n: int
+    panel: int
+    r: int
+
+    @property
+    def nblocks(self) -> int:
+        return self.inv_diag.shape[0]
+
+    @property
+    def work_nnz(self) -> int:
+        """Arithmetic volume of one solve (for the profiling work model)."""
+        nb, p, r = self.nblocks, self.panel, self.r
+        levels = max(1, int(np.ceil(np.log2(max(nb, 2)))))
+        return nb * (p * p + p * r) + nb * r * r * levels
+
+
+def reduced_scan_tri_solve(tf: ReducedScanTriFactor, b: jax.Array):
+    p = tf.panel
+    r = tf.r
+    nb = tf.nblocks
+    b_pad = jnp.zeros(nb * p, b.dtype).at[: tf.n].set(b)
+    b2 = b_pad.reshape(nb, p)
+    c = jnp.einsum("bij,bj->bi", tf.inv_diag.astype(b.dtype), b2)
+    w = tf.w_blocks.astype(b.dtype)
+    mr = -w[:, p - r:, :]                       # (nb, r, r)
+    cr = c[:, p - r:]                           # (nb, r)
+
+    def combine(a, bb):
+        ma, ca = a
+        mb, cb = bb
+        return mb @ ma, jnp.einsum("...ij,...j->...i", mb, ca) + cb
+
+    _, s = jax.lax.associative_scan(combine, (mr, cr))
+    s_prev = jnp.concatenate([jnp.zeros((1, r), b.dtype), s[:-1]], axis=0)
+    x = c - jnp.einsum("bij,bj->bi", w, s_prev)
+    return x.reshape(-1)[: tf.n]
+
+
+def build_reduced_scan_tri(T, panel: int = 128, r: int | None = None,
+                           dtype=None) -> ReducedScanTriFactor | None:
+    """Prepare T for the reduced-state scan; None when the reach exceeds
+    ``panel`` (caller falls back)."""
+    T, er, ec, ev = _coo_canonical(T)
+    n = T.shape[0]
+    dtype = dtype or T.dtype
+    reach = int((er - ec).max()) if ev.size else 0
+    if reach > panel:
+        return None
+    if r is None:
+        r = max(8, -(-max(reach, 1) // 8) * 8)
+    r = min(r, panel)
+
+    nblocks = max(1, -(-n // panel))
+    blk = er // panel
+    r_loc = er - blk * panel
+    on_diag = (ec // panel) == blk
+
+    diag_f = np.zeros((panel, panel, nblocks), dtype=np.float64, order="F")
+    idx = np.arange(panel)
+    diag_f[idx, idx, :] = 1.0
+    d = on_diag
+    diag_f[r_loc[d], ec[d] - blk[d] * panel, blk[d]] = ev[d]
+    s = ~on_diag
+    sub_c = np.zeros((nblocks, reach if reach else 1, r), dtype=np.float64)
+    if s.any():
+        sub_c[blk[s], r_loc[s], ec[s] - (blk[s] - 1) * panel - (panel - r)] \
+            = ev[s]
+
+    inv64 = _invert_panels_f(diag_f).transpose(2, 0, 1)   # (nb, p, p) view
+    w = np.zeros((nblocks, panel, r), dtype=dtype)
+    if nblocks > 1 and reach:
+        prod = np.matmul(np.ascontiguousarray(inv64[1:, :, :reach]),
+                         sub_c[1:])
+        w[1:] = prod.astype(dtype)
+    return ReducedScanTriFactor(
+        inv_diag=jnp.asarray(inv64.astype(dtype)),
+        w_blocks=jnp.asarray(w),
+        n=int(n), panel=int(panel), r=int(r))
+
+
 def tri_solve(tf, b: jax.Array) -> jax.Array:
     """Dispatch on the prepared factor kind (static under jit: the factor
     class is part of the pytree structure)."""
+    if isinstance(tf, ReducedScanTriFactor):
+        return reduced_scan_tri_solve(tf, b)
     if isinstance(tf, ScanTriFactor):
         return scan_tri_solve(tf, b)
     return block_tri_solve(tf, b)

@@ -115,10 +115,66 @@ def sym_givens(a, b):
     return c, s, d
 
 
+# ---------------------------------------------------------------------------
+# Vector reductions — pluggable for distributed execution.
+#
+# Every kernel reduction goes through ``vdot``/``vnorm``.  On a single
+# device they are plain jnp ops; inside a ``shard_map`` region the
+# ``reduce_axis`` context makes every kernel reduction a psum-fused local
+# dot (SURVEY.md §2.4 "fused allreduce dot products"), which is what lets
+# ALL six kernels run with row-sharded vectors unchanged.
+# ---------------------------------------------------------------------------
+
+_REDUCE_AXIS: "contextvars.ContextVar[str | None]" = None
+
+
+def _axis():
+    global _REDUCE_AXIS
+    if _REDUCE_AXIS is None:
+        import contextvars
+
+        _REDUCE_AXIS = contextvars.ContextVar("cpk_reduce_axis", default=None)
+    return _REDUCE_AXIS
+
+
+class reduce_axis:
+    """Context manager: reductions inside become psum(local, axis_name).
+
+    Activate around kernel *tracing* inside a shard_map body; the traced
+    computation then carries the collectives permanently.
+    """
+
+    def __init__(self, axis_name: str | None):
+        self.axis_name = axis_name
+        self._token = None
+
+    def __enter__(self):
+        self._token = _axis().set(self.axis_name)
+        return self
+
+    def __exit__(self, *exc):
+        _axis().reset(self._token)
+        return False
+
+
+def vdot(a, b):
+    """dot(a, b), psum-reduced over the active shard axis (if any)."""
+    d = jnp.dot(a, b)
+    axis_name = _axis().get()
+    if axis_name is not None:
+        d = jax.lax.psum(d, axis_name)
+    return d
+
+
+def vnorm(a):
+    """2-norm via vdot (sharding-aware)."""
+    return jnp.sqrt(vdot(a, a))
+
+
 def coupled_dot(u, v, t, q):
     """The coupled inner product dot(u,v) + dot(t,q) used by every kernel
     (e.g. cpminres.m:189, cpgmres.m:215)."""
-    return jnp.dot(u, v) + jnp.dot(t, q)
+    return vdot(u, v) + vdot(t, q)
 
 
 def eps100(dtype) -> float:
@@ -181,7 +237,7 @@ def initial_lanczos_pair(b, m, M, mstate, e100):
     mstate, w1, w2, _ = M.apply_nm(mstate, b, t0)
     vkp1 = w1
     qkp1 = -w2
-    beta0 = jnp.dot(b, vkp1)
+    beta0 = vdot(b, vkp1)
     indefinite = beta0 < -e100 * (1 + jnp.abs(beta0))
     beta = jnp.sqrt(jnp.abs(beta0))
     vkp1, qkp1 = safe_normalize_pair(vkp1, qkp1, beta)
@@ -226,8 +282,8 @@ def manifold_ok(B_op, C_op, x, y, stop_tol=0.0):
     from the truth; used to veto a bogus `solved` flag at kernel exit."""
     bx = B_op.matvec(x)
     cy = C_op.matvec(y)
-    viol = jnp.linalg.norm(bx - cy)
-    scale = 1.0 + jnp.linalg.norm(bx) + jnp.linalg.norm(cy)
+    viol = vnorm(bx - cy)
+    scale = 1.0 + vnorm(bx) + vnorm(cy)
     feps = float(np.finfo(np.dtype(x.dtype)).eps)
     return viol <= jnp.maximum((feps ** 0.5) * scale, 10.0 * stop_tol)
 

@@ -17,7 +17,7 @@ from ..precond.cp import CPPrecond, CPState
 from .common import (KrylovResult, STATUS_BREAKDOWN, STATUS_ITMAX,
                      STATUS_SOLVED, STATUS_STAGNATED, apply_manifold_veto,
                      history_init, resolve_itmax, resolve_operators,
-                     stag_init, stag_stop, stag_update)
+                     stag_init, stag_stop, stag_update, vdot)
 
 
 class _Carry(NamedTuple):
@@ -67,7 +67,7 @@ def cpcg(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
     mstate, r, u, _ = M.apply_nm(mstate, g, w)
     p = -r
     q = -u
-    resid2 = jnp.dot(g, r)
+    resid2 = vdot(g, r)
     # sqrt clamped at 0: a (roundoff-)negative M-inner product would go
     # complex in MATLAB, whose comparisons then use the (zero) real part.
     resid = jnp.sqrt(jnp.maximum(resid2, 0.0))
@@ -91,9 +91,9 @@ def cpcg(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
 
         # Curvatures and step (cpcg.m:151-154).
         Ap = A.matvec(c.p)
-        pAp = jnp.dot(c.p, Ap)
+        pAp = vdot(c.p, Ap)
         Cq = C.matvec(c.q)
-        qCq = jnp.dot(c.q, Cq)
+        qCq = vdot(c.q, Cq)
         curv = pAp + qCq
         alpha = c.resid2 / curv
 
@@ -104,7 +104,7 @@ def cpcg(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         w = c.w + alpha * Cq
         mstate, r, u, _ = M.apply_nm(c.mstate, g, w)
         t = a + u
-        resid2_new = jnp.dot(g, r) + jnp.dot(t, w)
+        resid2_new = vdot(g, r) + vdot(t, w)
         beta = resid2_new / c.resid2
         p = -r + beta * c.p
         q = -t + beta * c.q
@@ -153,7 +153,7 @@ def cpcg(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
     uv = b - A.matvec(x_out)
     tv = C.matvec(a_out)
     _, w1v, w2v, _ = M.apply_nm(out.mstate, uv, -tv)
-    dver = jnp.dot(uv, w1v) + jnp.dot(tv, a_out - w2v)
+    dver = vdot(uv, w1v) + vdot(tv, a_out - w2v)
     resid_ver = jnp.sqrt(jnp.maximum(dver, 0.0))
     resid_out = jnp.where(out.breakdown, resid_ver, resid_out)
     solved = resid_out <= stop_tol

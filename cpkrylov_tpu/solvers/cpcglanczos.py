@@ -20,7 +20,7 @@ from .common import (KrylovResult, STATUS_BACKWARD, STATUS_INDEFINITE,
                      STATUS_ITMAX, STATUS_SOLVED, STATUS_STAGNATED,
                      apply_manifold_veto, eps100, history_init,
                      initial_lanczos_pair, lanczos_step, resolve_itmax,
-                     resolve_operators, stag_init, stag_stop, stag_update)
+                     resolve_operators, stag_init, stag_stop, stag_update, vdot)
 
 
 class _Carry(NamedTuple):
@@ -111,7 +111,7 @@ def cpcglanczos(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         # u/t/alpha then the x,y update (cpcglanczos.m:232-239).
         u = A.matvec(vk)
         t = C.matvec(qk)
-        alpha = jnp.dot(u, vk) + jnp.dot(t, qk)
+        alpha = vdot(u, vk) + vdot(t, qk)
         dg = alpha - c.low * c.low * c.dg           # d_k
         zeta = c.eta / dg
         x = c.x + zeta * c.wv
@@ -121,7 +121,7 @@ def cpcglanczos(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         mstate, w1, w2, _ = M.apply_nm(c.mstate, u, -t)
         vkp1 = w1 - alpha * vk - c.beta * vkm1
         qkp1 = (qk - w2) - alpha * qk - c.beta * qkm1
-        beta2 = jnp.dot(u, vkp1) + jnp.dot(t, qkp1)
+        beta2 = vdot(u, vkp1) + vdot(t, qkp1)
         # relative guard; see common.lanczos_step
         indefinite = beta2 < -e100 * (1 + jnp.abs(alpha))
         beta = jnp.sqrt(jnp.abs(beta2))

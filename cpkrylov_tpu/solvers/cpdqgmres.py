@@ -24,7 +24,7 @@ from ..precond.cp import CPPrecond, CPState
 from .common import (KrylovResult, STATUS_BREAKDOWN, STATUS_ITMAX,
                      STATUS_STAGNATED, stag_init, stag_stop, stag_update,
                      STATUS_SOLVED, apply_manifold_veto, resolve_itmax,
-                     resolve_operators, sym_givens)
+                     resolve_operators, sym_givens, vdot)
 
 
 class _Carry(NamedTuple):
@@ -67,7 +67,7 @@ def cpdqgmres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
     # Initial Krylov pair (cpdqgmres.m:153-164).
     mstate, w1, w2, _ = M.apply_nm(mstate, b, zerom)
     v1, q1 = w1, -w2
-    resid0 = jnp.sqrt(jnp.maximum(jnp.dot(b, v1), 0.0))  # cpdqgmres.m:157
+    resid0 = jnp.sqrt(jnp.maximum(vdot(b, v1), 0.0))  # cpdqgmres.m:157
     nz = resid0 != 0
     denom = jnp.where(nz, resid0, 1.0)
     v1 = jnp.where(nz, v1 / denom, v1)
@@ -113,7 +113,7 @@ def cpdqgmres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         def mgs(j, acc):
             h, vnew, qnew = acc
             jpos = (j - 1) % (mem + 1)
-            hj = jnp.dot(cr.V[jpos], u) + jnp.dot(cr.Q[jpos], t)
+            hj = vdot(cr.V[jpos], u) + vdot(cr.Q[jpos], t)
             return (h.at[k - j].set(hj), vnew - hj * cr.V[jpos],
                     qnew - hj * cr.Q[jpos])
 
@@ -124,7 +124,7 @@ def cpdqgmres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         # the reference goes complex, cpdqgmres.m:218-225) flags a breakdown
         # — the iteration completes, then the loop exits (DQGMRES has no
         # restart to verify the estimate against, so the status reports it).
-        dsub = jnp.dot(u, vnew) + jnp.dot(t, qnew)
+        dsub = vdot(u, vnew) + vdot(t, qnew)
         breakdown = dsub <= 0
         hsub = jnp.sqrt(jnp.maximum(dsub, 0.0))
         nz = hsub != 0
@@ -209,7 +209,7 @@ def cpdqgmres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         u = b - A.matvec(x)
         t = C.matvec(y)
         mstate, w1, w2, _ = M.apply_nm(mstate, u, -t)
-        d = jnp.dot(u, w1) + jnp.dot(t, y - w2)
+        d = vdot(u, w1) + vdot(t, y - w2)
         return jnp.sqrt(jnp.maximum(d, 0.0))
 
     rv_final = verify(out.x, out.y, out.mstate)

@@ -23,7 +23,7 @@ from ..config import SolverOptions
 from ..precond.cp import CPPrecond, CPState
 from .common import (KrylovResult, STATUS_BREAKDOWN, STATUS_ITMAX,
                      STATUS_SOLVED, apply_manifold_veto, resolve_itmax,
-                     resolve_operators, sym_givens)
+                     resolve_operators, sym_givens, vdot)
 
 
 class _Inner(NamedTuple):
@@ -83,7 +83,7 @@ def cpgmres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
     def coupled_norm(u, v, t, q):
         # sqrt of the coupled inner product; clamped at 0 where the MATLAB
         # code strips an imaginary part (cpgmres.m:174-176, 220-222).
-        d = jnp.dot(u, v) + jnp.dot(t, q)
+        d = vdot(u, v) + vdot(t, q)
         return jnp.sqrt(jnp.maximum(d, 0.0))
 
     def normalized(v, q, nrm):
@@ -120,7 +120,7 @@ def cpgmres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         # Modified Gram-Schmidt against all previous pairs (cpgmres.m:214-218).
         def mgs(j, acc):
             hcol, vnew, qnew = acc
-            hj = jnp.dot(ic.V[j], u) + jnp.dot(ic.Q[j], t)
+            hj = vdot(ic.V[j], u) + vdot(ic.Q[j], t)
             return (hcol.at[j].set(hj), vnew - hj * ic.V[j],
                     qnew - hj * ic.Q[j])
 
@@ -143,7 +143,7 @@ def cpgmres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
 
             def mgs2(j, acc):
                 hcol, vnew, qnew = acc
-                hj = jnp.dot(ic.V[j], u) + jnp.dot(ic.Q[j], t)
+                hj = vdot(ic.V[j], u) + vdot(ic.Q[j], t)
                 return (hcol.at[j].add(hj), vnew - hj * ic.V[j],
                         qnew - hj * ic.Q[j])
 
@@ -155,7 +155,7 @@ def cpgmres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         # completes (hsub = 0 keeps the rotation and solve valid, as in the
         # reference), the inner loop then exits, and the restart recomputes
         # the TRUE residual to decide whether the solve is actually done.
-        dsub = jnp.dot(u, vnew) + jnp.dot(t, qnew)
+        dsub = vdot(u, vnew) + vdot(t, qnew)
         breakdown = dsub <= 0
         hsub = jnp.sqrt(jnp.maximum(dsub, 0.0))
         vnew, qnew = normalized(vnew, qnew, hsub)

@@ -18,7 +18,7 @@ from .common import (KrylovResult, STATUS_INDEFINITE, STATUS_ITMAX,
                      STATUS_SOLVED, STATUS_STAGNATED, apply_manifold_veto,
                      coupled_dot, eps100, history_init, resolve_itmax,
                      resolve_operators, safe_normalize_pair, stag_init,
-                     stag_stop, stag_update)
+                     stag_stop, stag_update, vdot)
 
 
 class _Carry(NamedTuple):
@@ -74,7 +74,7 @@ def cpminres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
     mstate, w1, w2, _ = M.apply_nm(mstate, u0, t0)
     vkp1 = w1
     qkp1 = -w2
-    beta0 = jnp.dot(u0, vkp1)                          # cpminres.m:134
+    beta0 = vdot(u0, vkp1)                          # cpminres.m:134
     indefinite0 = beta0 < -e100 * (1 + jnp.abs(beta0))  # cpminres.m:136-139
     beta = jnp.sqrt(jnp.abs(beta0))
     vkp1, qkp1 = safe_normalize_pair(vkp1, qkp1, beta)

@@ -133,8 +133,113 @@ def cvxqp_kkt(family: str, n: int | str = "s", *, mu: float = 1e-4,
     return SaddleSystem(name=f"{family}_{n}", A=H, B=J, C=C, G=G, b=b, K=K)
 
 
+
+
+# ---------------------------------------------------------------------------
+# AUG2D / AUG3D family — expanded-system grid problems
+# ---------------------------------------------------------------------------
+
+#: grid extents per catalogue letter (2-D and 3-D members).
+AUG_SIZES = {"2d": {"s": 10, "m": 100, "l": 316},
+             "3d": {"s": 5, "m": 16, "l": 48}}
+
+
+def grid_incidence(dims: tuple[int, ...]) -> sp.csr_matrix:
+    """Node-edge incidence matrix of a regular grid graph.
+
+    Rows = nodes (the LAST node is dropped so the matrix has full row
+    rank — the incidence of a connected graph is rank #nodes-1), columns =
+    edges along each axis; entries +1 at the edge head, -1 at the tail.
+    This is the discrete-divergence operator of the AUG2D/AUG3D
+    "expanded system" formulation (Maros-Meszaros: min x'x/2 s.t. A x = c
+    from a 2-D/3-D framework/Laplacian problem).
+    """
+    nnodes = int(np.prod(dims))
+    node_id = np.arange(nnodes).reshape(dims)
+    rows, cols, vals = [], [], []
+    edge = 0
+    for ax in range(len(dims)):
+        head = np.moveaxis(node_id, ax, 0)[1:].reshape(-1)
+        tail = np.moveaxis(node_id, ax, 0)[:-1].reshape(-1)
+        ne = head.size
+        eids = edge + np.arange(ne)
+        rows.append(head)
+        cols.append(eids)
+        vals.append(np.ones(ne))
+        rows.append(tail)
+        cols.append(eids)
+        vals.append(-np.ones(ne))
+        edge += ne
+    J = sp.csr_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(nnodes, edge))
+    return J[:-1]                       # drop one node: full row rank
+
+
+def aug_kkt(dim: str = "2d", n: int | str = "s", *, mu: float = 1e-4,
+            delta: float = 1e-8, seed: int = 0,
+            g_mode: str = "identity") -> SaddleSystem:
+    """AUG2D/AUG3D-style KKT system (bounded variant, barrier iterate).
+
+    The expanded-system formulation  min 1/2 x'x - b'x  s.t.  J x = c  with
+    J the grid divergence gives the KKT blocks H = I (+ barrier diagonal
+    for the AUG*CQP bounded variants), B = J, C = delta*I.  With bounds the
+    simulated interior-point iterate adds the log-uniform barrier diagonal
+    (same iterate model as ``cvxqp_kkt``), so G = I is an *approximation*
+    of H and the kernels do real work; g_mode="diag" gives the exact-Jacobi
+    preconditioner (H diagonal => one-iteration convergence — the
+    degenerate sanity case).
+    """
+    key = dim.lower()
+    if key not in AUG_SIZES:
+        raise ValueError(f"unknown AUG member {dim!r} (use '2d' or '3d')")
+    if isinstance(n, str):
+        n = AUG_SIZES[key][n.lower()]
+    dims = (n, n) if key == "2d" else (n, n, n)
+    J = grid_incidence(dims)
+    m, nvar = J.shape
+
+    rng = np.random.default_rng(seed)
+    # bounded variant: barrier diagonal from an interior iterate in
+    # 0.1 <= x <= 10 (complementarity products span [mu^2, 1], see
+    # cvxqp_kkt).
+    lo, hi = 0.1, 10.0
+    x = lo + rng.uniform(0.15, 0.85, size=nvar) * (hi - lo)
+    z_lo = mu ** rng.uniform(0.0, 2.0, size=nvar) / (x - lo)
+    z_hi = mu ** rng.uniform(0.0, 2.0, size=nvar) / (hi - x)
+    barrier = z_lo / (x - lo) + z_hi / (hi - x)
+
+    H = sp.diags(1.0 + barrier).tocsr()
+    C = (delta * sp.identity(m)).tocsr()
+    if g_mode == "identity":
+        G = sp.identity(nvar, format="csr")
+    elif g_mode == "diag":
+        G = sp.diags(H.diagonal()).tocsr()
+    else:
+        raise ValueError(f"unknown g_mode {g_mode!r}")
+
+    K = sp.bmat([[H, J.T], [J, -C]], format="csr")
+    y = rng.standard_normal(m)
+    b1 = -(x + J.T @ y - z_lo + z_hi)          # dual residual of min x'x/2
+    b2 = -(J @ x - 1.0 - delta * y)            # unit net-flow demand
+    b = np.concatenate([b1, b2])
+    return SaddleSystem(name=f"aug{key}_{n}", A=H, B=J, C=C, G=G, b=b, K=K)
+
+
 def mm_suite(size: int | str = "s", *, mu: float = 1e-4,
-             delta: float = 1e-8, seed: int = 0) -> list[SaddleSystem]:
-    """The CVXQP sweep suite: all three family members at one size."""
-    return [cvxqp_kkt(f, size, mu=mu, delta=delta, seed=seed)
-            for f in ("cvxqp1", "cvxqp2", "cvxqp3")]
+             delta: float = 1e-8, seed: int = 0,
+             families: tuple[str, ...] = ("cvxqp1", "cvxqp2", "cvxqp3",
+                                          "aug2d", "aug3d")
+             ) -> list[SaddleSystem]:
+    """The Maros-Meszaros sweep suite at one catalogue size."""
+    out = []
+    for f in families:
+        if f.startswith("cvxqp"):
+            out.append(cvxqp_kkt(f, size, mu=mu, delta=delta, seed=seed))
+        elif f.startswith("aug"):
+            out.append(aug_kkt(f[3:], size if isinstance(size, str) else "s",
+                               mu=mu, delta=delta, seed=seed))
+        else:
+            raise ValueError(f"unknown family {f!r}")
+    return out

@@ -53,11 +53,22 @@ class WorkModel:
 
 
 def _factor_nnz(M) -> int:
-    """Arithmetic volume of one FactorApply.solve (each factor reports its
-    own work model: ELL off-panels + dense panels, or scan levels)."""
-    total = M.factor.tf1.work_nnz + M.factor.tf2.work_nnz
-    total += M.factor.dinv.shape[0]
-    return total
+    """Arithmetic volume of one direct solve (each trisolve factor reports
+    its own work model: ELL off-panels + dense panels, or scan levels).
+
+    A distributed SchurFactor runs TWO local solves plus the interface
+    correction per application (schur.py SchurFactor.solve); its work is
+    summed over the device stack."""
+    import jax
+
+    f = M.factor
+    if hasattr(f, "local_factor"):          # parallel.schur.SchurFactor
+        lf0 = jax.tree_util.tree_map(lambda a: a[0], f.local_factor)
+        ndev = int(f.a_ds_data.shape[0])
+        local = lf0.tf1.work_nnz + lf0.tf2.work_nnz + lf0.dinv.shape[0]
+        ads = int(np.prod(f.a_ds_data.shape[1:]))
+        return ndev * (2 * local + 2 * ads) + int(f.s) * int(f.s)
+    return f.tf1.work_nnz + f.tf2.work_nnz + f.dinv.shape[0]
 
 
 def work_model(M, nnz_a: int, nnz_c: int) -> WorkModel:

@@ -89,3 +89,53 @@ def test_mm_sweep_ill_conditioned_with_itref():
     x = np.concatenate([np.asarray(out.x1), np.asarray(out.x2)])
     err = np.linalg.norm(x - xref) / np.linalg.norm(xref)
     assert err < 1e-4, err
+
+
+# ---------------------------------------------------------------------------
+# AUG2D / AUG3D family (VERDICT r1 item 9)
+# ---------------------------------------------------------------------------
+
+def test_grid_incidence_properties():
+    from cpkrylov_tpu.utils.mm import grid_incidence
+
+    J = grid_incidence((4, 5))
+    # edges of a 4x5 grid graph: 3*5 + 4*4 = 31; nodes 20, one dropped
+    assert J.shape == (19, 31)
+    # full row rank (incidence of a connected graph minus one node)
+    assert np.linalg.matrix_rank(J.toarray()) == 19
+    # each edge column has exactly one +1 and one -1 (unless its tail/head
+    # was the dropped node)
+    colsum = np.asarray(abs(J).sum(axis=0)).ravel()
+    assert set(np.unique(colsum)) <= {1.0, 2.0}
+
+
+@pytest.mark.parametrize("dim,kernels", [
+    ("2d", ("cpminres", "cpcg")),
+    ("3d", ("cpgmres", "cpdqgmres")),
+])
+def test_aug_family_solves(dim, kernels):
+    """AUG2D/AUG3D expanded-system KKT: every kernel family converges and
+    matches the direct solve (BASELINE.json configs[2] beyond CVXQP)."""
+    import scipy.sparse.linalg as spla
+
+    from cpkrylov_tpu import SolverOptions, solve
+    from cpkrylov_tpu.utils.mm import aug_kkt
+
+    s_ = aug_kkt(dim, "s")
+    xref = spla.spsolve(s_.K.tocsc(), s_.b)
+    for method in kernels:
+        out = solve(method, s_.b, s_.A, s_.B, s_.C, s_.G,
+                    opts=SolverOptions(itmax=500, restart=50, mem=50))
+        err = np.linalg.norm(np.asarray(out.x) - xref) / np.linalg.norm(xref)
+        assert bool(out.solved), method
+        assert err < 1e-5, (method, err)
+
+
+def test_mm_suite_contains_all_families():
+    from cpkrylov_tpu.utils.mm import mm_suite
+
+    suite = mm_suite("s")
+    names = [s.name for s in suite]
+    assert len(names) == 5
+    assert any("aug2d" in n for n in names)
+    assert any("aug3d" in n for n in names)

@@ -246,3 +246,31 @@ def test_halo_plan_rejects_wide_reach():
     A = A.tocsr()
     with pytest.raises(ValueError, match="halo width"):
         plan_halo_block(A, 4, 16, 16, max_halo=8)
+
+
+@pytest.mark.parametrize("method", ["cpminres", "cpgmres"])
+def test_dist_solve_halo_path(method):
+    """On a banded system every block gets a halo plan (edge-only ppermutes
+    instead of all-gather, SURVEY.md §2.4) and iteration counts still match
+    the serial kernel exactly."""
+    from cpkrylov_tpu.parallel.solve import dist_solve, plan_dist
+    from cpkrylov_tpu.utils.fixtures import banded_saddle_system
+
+    sys_ = banded_saddle_system(512, 128, bandwidth=3, with_oracle=False)
+    plan = plan_dist(sys_.A, sys_.B, sys_.C, 8, halo=True)
+    # The hot-loop blocks (A*v, C*q every iteration, cpminres.m:187-188)
+    # must ride the halo path; the rectangular B/B' (used once per solve in
+    # the shift and the manifold check) may fall back to all-gather when
+    # their pattern does not align with the m_loc/n_loc chunk ratio.
+    assert plan.halos["a"] is not None and plan.halos["c"] is not None
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rows",))
+    opts = SolverOptions(itmax=300, restart=40)
+    res, x1, x2 = dist_solve(mesh, method, sys_.b, sys_.A, sys_.B, sys_.C,
+                             sys_.G, opts=opts, panel=64, halo=True)
+    out = solve(method, sys_.b, sys_.A, sys_.B, sys_.C, sys_.G, opts=opts,
+                panel=64)
+    assert bool(res.solved) and out.solved
+    assert int(res.niters) == out.niters
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(out.x1),
+                               rtol=1e-7, atol=1e-9)
