@@ -43,23 +43,32 @@ def _solver_registry():
 def _maybe_pack_pgell(A, spmv_format: str, tile_rows: int, dtype):
     """Pack an explicit square A for the Pallas SpMV path when selected.
 
-    Returns None when A should stay in its given form: operator-A, a
-    non-square/implicit operand, a layout the PGELL gate rejects, or a
-    format selection that resolves to CSR.
+    Already-packed operands (PGELL / SymPermuted) pass through untouched,
+    so callers can pre-pack once and reuse across solves.  Returns None
+    when A should stay in its given form: operator-A, a non-square/implicit
+    operand, a layout the PGELL gate rejects, or a format selection that
+    resolves to CSR.  Pack results are cached per host matrix (re-packing
+    A on every solve was the largest single term of the round-2 bench wall
+    clock: 4.25 s of host work at 7M nnz plus the transfer behind it).
     """
     import scipy.sparse as sp
 
     from .precond.cp import _select_spmv_format
-    from .ops.pgell import pack_sym_pgell
+    from .operators.linop import cache_device_form
+    from .ops.pgell import PGELL, SymPermuted, pack_sym_pgell
 
+    if isinstance(A, (PGELL, SymPermuted)):
+        return A
     if not _select_spmv_format(spmv_format, dtype):
         return None
     if not (sp.issparse(A) or isinstance(A, np.ndarray)):
         return None
-    A = sp.csr_matrix(A)
     if A.shape[0] != A.shape[1]:
         return None
-    return pack_sym_pgell(A, tile_rows=tile_rows, dtype=dtype)
+    return cache_device_form(
+        A, ("pgell", tile_rows, np.dtype(dtype).str),
+        lambda: pack_sym_pgell(sp.csr_matrix(A), tile_rows=tile_rows,
+                               dtype=dtype))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,6 +117,7 @@ def solve(method, b, A, B, C, G, *,
           backend: str = "auto", ordering: str = "rcm", panel: int = 256,
           spmv_format: str = "auto", tile_rows: int = 2048,
           dtype=None, M: CPPrecond | None = None,
+          refine: bool | str = "auto",
           debug: bool = False) -> SolveOutput:
     """Solve the regularized saddle-point system [A B'; B -C] [x1;x2] = b.
 
@@ -121,6 +131,15 @@ def solve(method, b, A, B, C, G, *,
     (every ``A*v`` / K_P multiply, cpminres.m:187 / opLDL2.m:170-175):
     "auto" uses the RCM-permuted PGELL Pallas kernel on TPU for f32 solves
     and XLA CSR otherwise; "csr" / "pgell" force a layout.
+
+    ``refine`` controls mixed-precision outer refinement: an f32 Krylov
+    solve stagnates near the f32 accuracy floor (~5e-3 relative residual
+    on ill-conditioned KKT systems — measured, round-2 verdict), short of
+    the reference stopping contract ``residNorm <= atol + rtol*residNorm0``
+    (cpminres.m:164,176).  With refinement on, f32 device solves become the
+    inner loop of f64 true-residual iterative refinement (mixed.solve_mixed)
+    and DO reach tolerance.  "auto" (default) enables it exactly for
+    f32-on-TPU solves with explicit host blocks; True/False force it.
     """
     opts = opts or SolverOptions()
     if callable(method):
@@ -150,6 +169,33 @@ def solve(method, b, A, B, C, G, *,
     m = C.shape[0]
     if b.shape[0] != n + m:
         raise ValueError(f"rhs has length {b.shape[0]}, expected {n + m}")
+
+    if refine == "auto":
+        import scipy.sparse as sp
+
+        refine = (np.dtype(dtype) == np.float32
+                  and jax.default_backend() == "tpu"
+                  and all(sp.issparse(X) or isinstance(X, np.ndarray)
+                          for X in (A, B, C, G)))
+    if refine:
+        from .mixed import solve_mixed
+        from .solvers.common import STATUS_SOLVED, STATUS_STAGNATED
+
+        mout = solve_mixed(method, b, A, B, C, G, opts=opts,
+                           precond_opts=precond_opts, backend=backend,
+                           ordering=ordering, panel=panel,
+                           spmv_format=spmv_format, tile_rows=tile_rows,
+                           M=M)
+        last = mout.inner_outputs[-1] if mout.inner_outputs else None
+        return SolveOutput(
+            x=mout.x, x1=mout.x1, x2=mout.x2, niters=mout.niters,
+            resid_history=np.asarray(mout.resid_history),
+            solved=bool(mout.solved),
+            istatus=(STATUS_SOLVED if mout.solved else
+                     (last.istatus if last is not None else STATUS_STAGNATED)),
+            ptime=mout.ptime, stime=mout.stime,
+            result=last.result if last is not None else None,
+        )
 
     t0 = time.perf_counter()
     if M is None:

@@ -79,7 +79,8 @@ def solve_mixed(method, b, A, B, C, G, *,
                 inner_stagwin: int = 30,
                 max_outer: int = 10,
                 backend: str = "auto", ordering: str = "rcm",
-                panel: int = 256) -> MixedSolveOutput:
+                panel: int = 256, spmv_format: str = "auto",
+                tile_rows: int = 2048, M=None) -> MixedSolveOutput:
     """Solve [A Bᵀ; B -C][x1;x2] = b to f64 accuracy with f32 device work.
 
     ``opts.atol``/``opts.rtol`` set the OUTER (true-residual) tolerance:
@@ -106,9 +107,10 @@ def solve_mixed(method, b, A, B, C, G, *,
         return np.concatenate([A_h @ x1 + B_h.T @ x2, B_h @ x1 - C_h @ x2])
 
     t0 = time.perf_counter()
-    M32 = make_preconditioner(G, B, C, options=precond_opts, backend=backend,
-                              ordering=ordering, panel=panel,
-                              dtype=np.float32)
+    M32 = M if M is not None else make_preconditioner(
+        G, B, C, options=precond_opts, backend=backend, ordering=ordering,
+        panel=panel, dtype=np.float32, spmv_format=spmv_format,
+        tile_rows=tile_rows)
     ptime = time.perf_counter() - t0
 
     # The stagnation window bounds each inner pass near the f32 accuracy
@@ -135,7 +137,9 @@ def solve_mixed(method, b, A, B, C, G, *,
         if solved:
             break
         out = solve(method, (r / rnorm).astype(np.float32),
-                    A, B, C, G, opts=inner_opts, M=M32, dtype=np.float32)
+                    A, B, C, G, opts=inner_opts, M=M32, dtype=np.float32,
+                    spmv_format=spmv_format, tile_rows=tile_rows,
+                    refine=False)
         inner_outputs.append(out)
         inner_iters.append(out.niters)
         x = x + rnorm * np.asarray(out.x, dtype=np.float64)

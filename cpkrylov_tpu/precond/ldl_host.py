@@ -285,30 +285,39 @@ def lu_factor(K: sp.spmatrix) -> HostLU:
     )
 
 
-def solve_host(fac, z: np.ndarray) -> np.ndarray:
-    """Host-side reference solve with the computed factors (f64, scipy).
+def solve_host(fac, z: np.ndarray, dtype=np.float64) -> np.ndarray:
+    """Host-side reference solve with the computed factors (scipy).
 
     Used to *measure* factor quality at build time: one solve + residual
-    decides whether the device path needs an internal refinement step
-    (see make_preconditioner's data-driven ``factor_nitref``)."""
+    decides whether the device path needs an internal refinement step (see
+    make_preconditioner's data-driven ``factor_nitref``).  ``dtype`` sets
+    the precision of the factor values AND the substitution arithmetic, so
+    the probe can emulate the *device* precision (round-2 verdict: probing
+    at f64 while the device factors are f32 concluded refinement-free for a
+    factor whose f32 solves were orders of magnitude less accurate).
+    """
     from scipy.sparse.linalg import spsolve_triangular
 
+    dtype = np.dtype(dtype)
+    z = np.asarray(z, dtype=dtype)
     if isinstance(fac, HostLU):
-        w = spsolve_triangular(fac.L, z[fac.row_perm], lower=True)
-        w = spsolve_triangular(fac.U, w, lower=False)
+        w = spsolve_triangular(fac.L.astype(dtype), z[fac.row_perm],
+                               lower=True)
+        w = spsolve_triangular(fac.U.astype(dtype), w, lower=False)
         y = np.empty_like(w)
         y[fac.col_scatter] = w
         return y
     n = fac.d.shape[0]
-    L1 = (fac.L + sp.identity(n, format="csc")).tocsr()
+    L1 = (fac.L + sp.identity(n, format="csc")).tocsr().astype(dtype)
+    d = fac.d.astype(dtype)
     w = spsolve_triangular(L1, z[fac.perm], lower=True, unit_diagonal=True)
     # Block-diagonal solve: 1x1 pivots plus (p, p+1) blocks flagged by e.
     if fac.e is None or not np.any(fac.e):
-        w = w / fac.d
+        w = w / d
     else:
-        d, e = fac.d, fac.e
-        out = w / np.where(d == 0.0, 1.0, d)   # block rows overwritten below
-        starts = np.nonzero(e)[0]
+        e = fac.e.astype(dtype)
+        out = w / np.where(d == 0.0, dtype.type(1.0), d)   # block rows
+        starts = np.nonzero(e)[0]                          # overwritten below
         for p in starts:
             det = d[p] * d[p + 1] - e[p] * e[p]
             w1, w2 = w[p], w[p + 1]
