@@ -1,8 +1,18 @@
-"""Multi-chip dry run: tiny distributed CP-MINRES over an n-device mesh.
+"""Multi-chip dry run: distributed CP solves over an n-device mesh, checked
+for CONVERGENCE and serial iteration parity (not just finiteness).
 
 Used by the graft driver (with ``xla_force_host_platform_device_count``) to
-validate that the row-partitioned sharding compiles and executes without N
-real chips.
+validate that the row-partitioned sharding compiles, executes, and produces
+the same numerics as the serial kernels without N real chips.  Covers both
+distributed paths:
+
+* ``dist_cpminres`` — the hand-fused flagship Lanczos path,
+* ``dist_solve``   — the generic six-kernel shard_map driver (exercised
+  here with CPMINRES and the Arnoldi-side CPGMRES).
+
+Each run asserts ``solved`` and that the iteration count matches the serial
+kernel exactly (the distributed preconditioner and psum-fused dots are
+mathematically identical, so any drift indicates a sharding bug).
 """
 from __future__ import annotations
 
@@ -19,35 +29,60 @@ def run_dryrun(n_devices: int) -> None:
             f"need {n_devices} devices, found {len(devices)}")
 
     from ..config import SolverOptions
+    from ..driver import solve
     from ..precond.cp import make_preconditioner
-    from ..utils.fixtures import random_sqd_system
+    from ..utils.fixtures import banded_saddle_system
     from .cpminres import dist_cpminres
     from .partition import partition_blocks, shard_vector, unshard_vector
+    from .solve import dist_solve
 
     dtype = np.dtype(jax.dtypes.canonicalize_dtype(np.float64))
-    sys_ = random_sqd_system(8 * n_devices, 3 * n_devices, seed=7,
-                             delta=1e-2)
+    rtol = 1e-6 if dtype == np.float64 else 1e-4
+
+    # A few-thousand-row banded system: large enough that the row shards,
+    # halo exchange, and the distributed Schur preconditioner all engage,
+    # small enough to keep the virtual-device run under a minute.
+    n, m = 2048, 512
+    sys_ = banded_saddle_system(n, m, bandwidth=3, with_oracle=False)
     mesh = Mesh(np.array(devices), ("rows",))
+    opts = SolverOptions(atol=0.0, rtol=rtol, itmax=400)
 
-    M = make_preconditioner(sys_.G, sys_.B, sys_.C, panel=8, dtype=dtype)
+    # --- flagship hand-fused path: dist_cpminres on the b2=0 system -------
+    b1 = sys_.b[:n].astype(dtype)
+    b0 = np.concatenate([b1, np.zeros(m)])
+    serial = solve("cpminres", b0, sys_.A, sys_.B, sys_.C, sys_.G,
+                   opts=opts, dtype=dtype)
+    assert serial.solved, (
+        f"serial cpminres failed on the dryrun system (istatus="
+        f"{serial.istatus})")
+
+    M = make_preconditioner(sys_.G, sys_.B, sys_.C, dtype=dtype)
     blocks = partition_blocks(sys_.A, sys_.B, sys_.C, n_devices, dtype=dtype)
-    b1 = sys_.b[: sys_.n].astype(dtype)
     b_sh = shard_vector(b1, n_devices, blocks.n_loc)
-
-    opts = SolverOptions(itmax=8)
     x_sh, y_sh, k, resid, hist = jax.jit(
         lambda b: dist_cpminres(mesh, blocks, M, b, opts)
     )(b_sh)
-    x = np.asarray(unshard_vector(x_sh, sys_.n))
+    x = np.asarray(unshard_vector(x_sh, n))
     assert np.isfinite(x).all(), "distributed solve produced non-finite x"
-    assert int(k) >= 1, "distributed solve did not iterate"
+    k = int(k)
+    assert abs(k - serial.niters) <= 1, (
+        f"dist_cpminres iteration drift: {k} vs serial {serial.niters}")
+    rel_err = (np.linalg.norm(x - np.asarray(serial.x1))
+               / max(np.linalg.norm(np.asarray(serial.x1)), 1e-300))
+    assert rel_err < 1e-6, f"dist_cpminres solution drift: rel_err={rel_err}"
 
-    # generic family path: any serial kernel under shard_map (solve.py);
-    # exercise the Arnoldi side with a tiny restarted GMRES.
-    from .solve import dist_solve
-
-    res, x1, x2 = dist_solve(
-        mesh, "cpgmres", sys_.b, sys_.A, sys_.B, sys_.C, sys_.G,
-        opts=SolverOptions(itmax=8, restart=4), panel=8, dtype=dtype)
-    assert np.isfinite(np.asarray(x1)).all()
-    assert int(res.niters) >= 1
+    # --- generic family path (shifted RHS): CPMINRES + CPGMRES -----------
+    for method, extra in (("cpminres", {}), ("cpgmres", {"restart": 50})):
+        mopts = SolverOptions(atol=0.0, rtol=rtol, itmax=500, **extra)
+        sref = solve(method, sys_.b, sys_.A, sys_.B, sys_.C, sys_.G,
+                     opts=mopts, dtype=dtype)
+        assert sref.solved, f"serial {method} failed (istatus={sref.istatus})"
+        res, x1, x2 = dist_solve(mesh, method, sys_.b, sys_.A, sys_.B,
+                                 sys_.C, sys_.G, opts=mopts, dtype=dtype)
+        assert bool(res.solved), f"dist_solve({method}) did not converge"
+        assert abs(int(res.niters) - sref.niters) <= 1, (
+            f"dist_solve({method}) iteration drift: {int(res.niters)} vs "
+            f"serial {sref.niters}")
+        rel = (np.linalg.norm(np.asarray(x1) - np.asarray(sref.x1))
+               / max(np.linalg.norm(np.asarray(sref.x1)), 1e-300))
+        assert rel < 1e-6, f"dist_solve({method}) solution drift: {rel}"
