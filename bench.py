@@ -66,18 +66,17 @@ def _mat_bytes(mat, nrows: int, itemsize: int) -> float:
 def _factor_traffic(tf, itemsize: int) -> float:
     """HBM bytes one triangular solve reads/writes for a prepared factor."""
     if hasattr(tf, "w_blocks"):   # ReducedScanTriFactor: r-state scan
+        # lax.associative_scan is work-efficient (~2 combines per element,
+        # not log-depth full passes): inv_diag + w one pass each, plus ~4
+        # effective passes over the (nb, r, r) scan state.
         nb = tf.nblocks
-        levels = max(1, int(np.ceil(np.log2(max(nb, 2)))))
         isz = np.dtype(tf.w_blocks.dtype).itemsize
-        per_level = nb * tf.r * tf.r * isz
         return float(tf.inv_diag.size * isz
                      + 2.0 * tf.w_blocks.size * isz
-                     + 2.0 * per_level * levels)
-    if hasattr(tf, "m_blocks"):               # ScanTriFactor: log-depth scan
-        nb = tf.nblocks
-        levels = max(1, int(np.ceil(np.log2(max(nb, 2)))))
-        per_level = tf.m_blocks.size * np.dtype(tf.m_blocks.dtype).itemsize
-        return float(tf.inv_diag.size * itemsize + 2.0 * per_level * levels)
+                     + 4.0 * nb * tf.r * tf.r * isz)
+    if hasattr(tf, "m_blocks"):               # ScanTriFactor: full-panel scan
+        mbytes = tf.m_blocks.size * np.dtype(tf.m_blocks.dtype).itemsize
+        return float(tf.inv_diag.size * itemsize + 4.0 * mbytes)
     # BlockTriFactor: dense panel inverses + ELL off-entries, read once.
     return float(tf.inv_diag.size * itemsize
                  + tf.off_data.size * (itemsize + 4)   # values + int32 cols
@@ -145,7 +144,14 @@ def main() -> None:
     pack_s = time.perf_counter() - t0
     if a_dev is None:
         a_dev = csr_from_scipy(sysm.A.tocsr(), dtype=dtype)
-    c_dev = csr_from_scipy(sysm.C.tocsr(), dtype=dtype)
+    # C = delta*I is strictly diagonal: the solve path applies it as one
+    # elementwise multiply (see aslinearoperator), so the byte model uses
+    # the Diagonal layout too.
+    import jax.numpy as jnp
+
+    from cpkrylov_tpu.ops.formats import Diagonal
+
+    c_dev = Diagonal(diag=jnp.asarray(sysm.C.diagonal(), dtype=dtype))
     t0 = time.perf_counter()
     sync(a_dev, c_dev, M.factor, M.kp)
     transfer_s = time.perf_counter() - t0

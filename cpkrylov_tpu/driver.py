@@ -41,34 +41,34 @@ def _solver_registry():
 
 
 def _maybe_pack_pgell(A, spmv_format: str, tile_rows: int, dtype):
-    """Pack an explicit square A for the Pallas SpMV path when selected.
+    """Pack an explicit square A for the TPU SpMV hot loop when selected.
 
-    Already-packed operands (PGELL / SymPermuted) pass through untouched,
-    so callers can pre-pack once and reuse across solves.  Returns None
-    when A should stay in its given form: operator-A, a non-square/implicit
-    operand, a layout the PGELL gate rejects, or a format selection that
-    resolves to CSR.  Pack results are cached per host matrix (re-packing
-    A on every solve was the largest single term of the round-2 bench wall
-    clock: 4.25 s of host work at 7M nnz plus the transfer behind it).
+    Already-packed operands (DIA / PGELL / SymPermuted) pass through
+    untouched, so callers can pre-pack once and reuse across solves.
+    Format preference lives in ``precond.cp.pack_device_format`` (RCM+DIA
+    first, RCM+PGELL fallback).  Returns None when A should stay in its
+    given form: operator-A, a non-square/implicit operand, a layout every
+    gate rejects, or a format selection that resolves to CSR.  Pack results
+    are cached per host matrix (re-packing A on every solve was the largest
+    single term of the round-2 bench wall clock: 4.25 s of host work at
+    7M nnz plus the transfer behind it).
     """
     import scipy.sparse as sp
 
-    from .precond.cp import _select_spmv_format
     from .operators.linop import cache_device_form
-    from .ops.pgell import PGELL, SymPermuted, pack_sym_pgell
+    from .ops.dia import DIA
+    from .ops.pgell import PGELL, SymPermuted
+    from .precond.cp import pack_device_format
 
-    if isinstance(A, (PGELL, SymPermuted)):
+    if isinstance(A, (DIA, PGELL, SymPermuted)):
         return A
-    if not _select_spmv_format(spmv_format, dtype):
-        return None
     if not (sp.issparse(A) or isinstance(A, np.ndarray)):
         return None
     if A.shape[0] != A.shape[1]:
         return None
     return cache_device_form(
-        A, ("pgell", tile_rows, np.dtype(dtype).str),
-        lambda: pack_sym_pgell(sp.csr_matrix(A), tile_rows=tile_rows,
-                               dtype=dtype))
+        A, ("packed", spmv_format, tile_rows, np.dtype(dtype).str),
+        lambda: pack_device_format(A, spmv_format, tile_rows, dtype))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,7 +114,7 @@ def _solve_core(method: str, b, A_op, C_op, B_op, M: CPPrecond,
 def solve(method, b, A, B, C, G, *,
           opts: SolverOptions | None = None,
           precond_opts: PrecondOptions | None = None,
-          backend: str = "auto", ordering: str = "rcm", panel: int = 256,
+          backend: str = "auto", ordering="auto", panel: int = 256,
           spmv_format: str = "auto", tile_rows: int = 2048,
           dtype=None, M: CPPrecond | None = None,
           refine: bool | str = "auto",

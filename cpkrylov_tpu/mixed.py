@@ -78,7 +78,7 @@ def solve_mixed(method, b, A, B, C, G, *,
                 inner_rtol: float = 1.0e-4,
                 inner_stagwin: int = 30,
                 max_outer: int = 10,
-                backend: str = "auto", ordering: str = "rcm",
+                backend: str = "auto", ordering="auto",
                 panel: int = 256, spmv_format: str = "auto",
                 tile_rows: int = 2048, M=None) -> MixedSolveOutput:
     """Solve [A Bᵀ; B -C][x1;x2] = b to f64 accuracy with f32 device work.

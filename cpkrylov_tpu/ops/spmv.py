@@ -10,6 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .dia import DIA, dia_matmat, dia_matvec, dia_rmatvec
 from .formats import BSR, CSR, ELL, Diagonal
 from .pgell import PGELL, SymPermuted, pgell_matvec_reference
 
@@ -64,7 +65,7 @@ def pgell_dispatch(mat: PGELL, x: jax.Array) -> jax.Array:
 
 
 def sym_permuted_matvec(mat: SymPermuted, x: jax.Array) -> jax.Array:
-    yp = pgell_dispatch(mat.inner, jnp.take(x, mat.perm))
+    yp = matvec(mat.inner, jnp.take(x, mat.perm))
     return jnp.take(yp, mat.iperm)
 
 
@@ -77,6 +78,8 @@ def matvec(mat, x: jax.Array) -> jax.Array:
         return bsr_matvec(mat, x)
     if isinstance(mat, Diagonal):
         return diag_matvec(mat, x)
+    if isinstance(mat, DIA):
+        return dia_matvec(mat, x)
     if isinstance(mat, SymPermuted):
         return sym_permuted_matvec(mat, x)
     if isinstance(mat, PGELL):
@@ -129,6 +132,11 @@ def matmat(mat, X: jax.Array) -> jax.Array:
         return bsr_matmat(mat, X)
     if isinstance(mat, Diagonal):
         return mat.diag[:, None] * X
+    if isinstance(mat, DIA):
+        return dia_matmat(mat, X)
+    if isinstance(mat, SymPermuted):
+        return jnp.take(matmat(mat.inner, jnp.take(X, mat.perm, axis=0)),
+                        mat.iperm, axis=0)
     if isinstance(mat, jax.Array) or hasattr(mat, "ndim"):
         return jnp.asarray(mat) @ X
     raise TypeError(f"unsupported matrix type {type(mat)}")

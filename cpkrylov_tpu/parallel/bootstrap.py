@@ -29,7 +29,8 @@ def initialize(coordinator_address: str | None = None,
     """
     import jax
 
-    if getattr(jax.distributed.global_state, "client", None) is not None:
+    state = getattr(jax._src.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
         return  # already initialized
     kwargs = {}
     if coordinator_address is not None:

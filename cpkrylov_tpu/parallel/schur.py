@@ -298,12 +298,16 @@ def plan_schur_precond(G, B, C, ndev: int, *,
     # Per-device reaches may select different trisolve forms; stacking
     # needs one structure, so fall back to the uniform block form when the
     # auto choice disagrees across devices.
-    lf_try = [build_factor_apply(f, n_loc, panel, dtype) for f in facs]
+    # permute="gather" keeps the permutation leaves structurally identical
+    # across devices (stacking requires one pytree structure).
+    lf_try = [build_factor_apply(f, n_loc, panel, dtype, permute="gather")
+              for f in facs]
     try:
         lf_try = _pad_factor_widths(lf_try)
     except TypeError:
         lf_try = _pad_factor_widths(
-            [build_factor_apply(f, n_loc, panel, dtype, scan_ok=False)
+            [build_factor_apply(f, n_loc, panel, dtype, scan_ok=False,
+                                permute="gather")
              for f in facs])
     lf_stack = lf_try
     for d in range(ndev):

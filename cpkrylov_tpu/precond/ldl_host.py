@@ -57,8 +57,13 @@ class HostLU:
     U: sp.csc_matrix         # upper triangular
 
 
-def _ordering(K: sp.spmatrix, kind: str) -> np.ndarray:
+def _ordering(K: sp.spmatrix, kind) -> np.ndarray:
     n = K.shape[0]
+    if isinstance(kind, np.ndarray):          # caller-supplied permutation
+        if kind.shape[0] != n:
+            raise ValueError(
+                f"ordering array has length {kind.shape[0]}, expected {n}")
+        return np.asarray(kind, dtype=np.int32)
     if kind == "natural":
         return np.arange(n, dtype=np.int32)
     if kind == "rcm":

