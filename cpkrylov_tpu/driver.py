@@ -56,11 +56,11 @@ def _maybe_pack_pgell(A, spmv_format: str, tile_rows: int, dtype):
     import scipy.sparse as sp
 
     from .operators.linop import cache_device_form
-    from .ops.dia import DIA
+    from .ops.dia import DIA, DIASpill
     from .ops.pgell import PGELL, SymPermuted
     from .precond.cp import pack_device_format
 
-    if isinstance(A, (DIA, PGELL, SymPermuted)):
+    if isinstance(A, (DIA, DIASpill, PGELL, SymPermuted)):
         return A
     if not (sp.issparse(A) or isinstance(A, np.ndarray)):
         return None

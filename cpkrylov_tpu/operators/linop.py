@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.dia import DIA
+from ..ops.dia import DIA, DIASpill
 from ..ops.formats import CSR, ELL, Diagonal, csr_from_scipy
 from ..ops.pgell import PGELL, SymPermuted
 from ..ops import spmv
@@ -58,6 +58,9 @@ class MatrixOperator:
             return spmv.diag_matvec(self.mat, y)
         if isinstance(self.mat, DIA):
             return spmv.dia_rmatvec(self.mat, y)
+        if isinstance(self.mat, DIASpill):
+            return (spmv.dia_rmatvec(self.mat.dia, y)
+                    + spmv.csr_rmatvec(self.mat.spill, y))
         if isinstance(self.mat, SymPermuted) and isinstance(self.mat.inner,
                                                             DIA):
             # (P M P')' = P M' P' — reuse the permutation wrapper.
@@ -156,7 +159,8 @@ def aslinearoperator(obj, shape=None, dtype=None) -> object:
     """Coerce matrices / callables / operators to an operator."""
     if isinstance(obj, LinearOperator):
         return obj
-    if isinstance(obj, (CSR, ELL, Diagonal, DIA, PGELL, SymPermuted)):
+    if isinstance(obj, (CSR, ELL, Diagonal, DIA, DIASpill, PGELL,
+                        SymPermuted)):
         return MatrixOperator(obj)
     if callable(obj) and not hasattr(obj, "shape"):
         if shape is None:

@@ -10,7 +10,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .dia import DIA, dia_matmat, dia_matvec, dia_rmatvec
+from .dia import (DIA, DIASpill, dia_matmat, dia_matvec, dia_rmatvec,
+                  dia_spill_matvec)
 from .formats import BSR, CSR, ELL, Diagonal
 from .pgell import PGELL, SymPermuted, pgell_matvec_reference
 
@@ -80,6 +81,8 @@ def matvec(mat, x: jax.Array) -> jax.Array:
         return diag_matvec(mat, x)
     if isinstance(mat, DIA):
         return dia_matvec(mat, x)
+    if isinstance(mat, DIASpill):
+        return dia_spill_matvec(mat, x)
     if isinstance(mat, SymPermuted):
         return sym_permuted_matvec(mat, x)
     if isinstance(mat, PGELL):
@@ -134,6 +137,8 @@ def matmat(mat, X: jax.Array) -> jax.Array:
         return mat.diag[:, None] * X
     if isinstance(mat, DIA):
         return dia_matmat(mat, X)
+    if isinstance(mat, DIASpill):
+        return dia_matmat(mat.dia, X) + csr_matmat(mat.spill, X)
     if isinstance(mat, SymPermuted):
         return jnp.take(matmat(mat.inner, jnp.take(X, mat.perm, axis=0)),
                         mat.iperm, axis=0)

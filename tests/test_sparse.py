@@ -185,3 +185,50 @@ def test_dia_operator_rmatvec(rng):
     op2 = aslinearoperator(sym)
     np.testing.assert_allclose(np.asarray(op2.rmatvec(jnp.asarray(x))),
                                M.T @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_dia_spill_matches_scipy(rng):
+    from cpkrylov_tpu.operators.linop import aslinearoperator
+    from cpkrylov_tpu.ops.dia import DIASpill, pack_dia_spill
+    from cpkrylov_tpu.ops.spmv import matmat, matvec
+
+    n = 4000
+    band = sp.diags([np.ones(n)] * 7, [-3, -2, -1, 0, 1, 2, 3],
+                    shape=(n, n)).tocsr()
+    scatter = sp.random(n, n, density=0.0002, random_state=rng,
+                        format="csr")
+    M = (band + scatter).tocsr()
+    pk = pack_dia_spill(M, dtype=np.float64)
+    assert isinstance(pk, DIASpill)
+    x = rng.standard_normal(n)
+    X = rng.standard_normal((n, 3))
+    np.testing.assert_allclose(np.asarray(matvec(pk, jnp.asarray(x))),
+                               M @ x, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(aslinearoperator(pk).rmatvec(jnp.asarray(x))),
+        M.T @ x, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(matmat(pk, jnp.asarray(X))),
+                               M @ X, rtol=1e-12, atol=1e-12)
+
+
+def test_cvxqp1_kp_packs_dia_spill(cvxqp1):
+    """VERDICT r2 item 8 done-criterion: the shipped cvxqp1_m K_P must keep
+    a fast device layout (not fall off to CSR) within ~1.5x CSR bytes."""
+    from cpkrylov_tpu.ops.dia import DIASpill
+    from cpkrylov_tpu.ops.dia import pack_sym_dia
+    from cpkrylov_tpu.ops.spmv import matvec
+    from cpkrylov_tpu.precond.cp import assemble_kp
+
+    ksp = assemble_kp(cvxqp1.G, cvxqp1.B, cvxqp1.C).tocsr()
+    packed = pack_sym_dia(ksp, dtype=np.float32)
+    assert packed is not None, "cvxqp1 K_P lost the fast SpMV path"
+    inner = getattr(packed, "inner", packed)
+    assert isinstance(inner, DIASpill)
+    ratio = inner.device_bytes / (ksp.nnz * 12.0)
+    assert ratio <= 1.5, f"device bytes {ratio:.2f}x CSR"
+    x = np.random.default_rng(5).standard_normal(ksp.shape[0]) \
+        .astype(np.float32)
+    y = np.asarray(matvec(packed, jnp.asarray(x)))
+    ref = (ksp @ x.astype(np.float64)).astype(np.float32)
+    denom = np.linalg.norm(ref)
+    assert np.linalg.norm(y - ref) / denom < 1e-5
