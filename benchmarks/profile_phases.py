@@ -29,19 +29,22 @@ def timed(label, fn, record):
     return out
 
 
-def time_device(label, step, x0, record, reps=20):
-    """Time a y->y device op with a jitted dependence chain of `reps` calls."""
+def time_device(label, step, x0, op, record, reps=20):
+    """Time a (y, op)->y device op with a jitted dependence chain of `reps`
+    calls.  The operand pytree is a jit ARGUMENT — closing over it would
+    bake the arrays into the HLO as constants and overflow the axon
+    remote_compile request at production sizes."""
     import jax
     from cpkrylov_tpu.utils.timing import sync
 
     @jax.jit
-    def loop(x):
-        return jax.lax.fori_loop(0, reps, lambda i, v: step(v), x)
+    def loop(x, o):
+        return jax.lax.fori_loop(0, reps, lambda i, v: step(v, o), x)
 
-    out = loop(x0)
+    out = loop(x0, op)
     sync(out)                        # compile + first run
     t0 = time.perf_counter()
-    out = loop(x0)
+    out = loop(x0, op)
     sync(out)
     dt = (time.perf_counter() - t0) / reps
     record[label] = round(dt * 1e3, 4)
@@ -100,18 +103,27 @@ def main() -> None:
     x_n = jnp.ones(n, dtype)
     x_N = jnp.ones(N, dtype)
 
-    t_a = time_device("A_spmv", lambda v: spmv.matvec(a_dev, v), x_n, devrec)
-    t_kp = time_device("KP_spmv", lambda v: spmv.matvec(M.kp, v), x_N, devrec)
+    t_a = time_device("A_spmv", lambda v, mt: spmv.matvec(mt, v), x_n,
+                      a_dev, devrec)
+    t_kp = time_device("KP_spmv", lambda v, kp: spmv.matvec(kp, v), x_N,
+                       M.kp, devrec)
     t_f = time_device("factor_solve(2 trisolves)",
-                      lambda v: M.factor.solve(v), x_N, devrec)
+                      lambda v, fa: fa.solve(v), x_N, M.factor, devrec)
     mstate = M.init_state(dtype)
 
-    def apply_step(v):
-        _, y, _ = M.apply(mstate, v)
+    def apply_step(v, mm):
+        _, y, _ = mm.apply(mstate, v)
         return y
 
     t_ap = time_device("M_apply(full, nitref=1 forced)", apply_step, x_N,
-                       devrec, reps=10)
+                       M, devrec, reps=10)
+    # Reduction cost: one coupled dot (the recurrences do ~4-6 of these
+    # per iteration) — broadcast back so the chain stays y->y.
+    t_dot = time_device(
+        "coupled_dot(1.25M)",
+        lambda v, _: v * (jnp.vdot(v[:n], v[:n])
+                          + jnp.vdot(v[n:], v[n:])) * 1e-30 + v,
+        x_N, None, devrec)
 
     # --- whole warm solve (A prepacked, M prebuilt) -------------------------
     A_op = aslinearoperator(a_dev, dtype=dtype)

@@ -71,6 +71,22 @@ def _maybe_pack_pgell(A, spmv_format: str, tile_rows: int, dtype):
         lambda: pack_device_format(A, spmv_format, tile_rows, dtype))
 
 
+def _maybe_pack_rect(B, spmv_format: str, dtype):
+    """Rectangular-DIA pack for the B block (shift path / manifold check,
+    reg_cpkrylov.m:157) on the TPU packed path; None keeps the given form."""
+    import scipy.sparse as sp
+
+    from .operators.linop import cache_device_form
+    from .ops.dia import pack_dia
+    from .precond.cp import _select_spmv_format
+
+    if not (sp.issparse(B) and _select_spmv_format(spmv_format, dtype)):
+        return None
+    return cache_device_form(
+        B, ("dia_rect", np.dtype(dtype).str),
+        lambda: pack_dia(B.tocsr(), dtype=dtype))
+
+
 @dataclasses.dataclass(frozen=True)
 class SolveOutput:
     """Driver output: combined solution + stats (reg_cpkrylov.m:107-117)."""
@@ -208,7 +224,8 @@ def solve(method, b, A, B, C, G, *,
     A_dev = _maybe_pack_pgell(A, spmv_format, tile_rows, dtype)
     A_op = aslinearoperator(A_dev if A_dev is not None else A, dtype=dtype)
     C_op = aslinearoperator(C, dtype=dtype)
-    B_op = aslinearoperator(B, dtype=dtype)
+    B_dev = _maybe_pack_rect(B, spmv_format, dtype)
+    B_op = aslinearoperator(B_dev if B_dev is not None else B, dtype=dtype)
     shift = bool(np.any(b[n:]))                     # reg_cpkrylov.m:154
     b_dev = jnp.asarray(b, dtype=dtype)
 

@@ -44,14 +44,16 @@ def _register(cls, data_fields, meta_fields):
          meta_fields=("offsets", "shape", "nnz"))
 @dataclasses.dataclass(frozen=True)
 class DIA:
-    """Square sparse matrix stored by diagonals.
+    """Sparse matrix stored by diagonals (square or rectangular).
 
     ``data[k, i] = M[i, i + offsets[k]]`` (zero where out of range or not
     stored).  ``offsets`` is a static tuple, so the matvec unrolls into a
-    fixed chain of shifted multiply-adds under jit.
+    fixed chain of shifted multiply-adds under jit.  Rectangular blocks
+    (the reference's B / B', reg_cpkrylov.m:157) work unchanged: offsets
+    are column-minus-row and may exceed the square range.
     """
 
-    data: jax.Array          # (ndiag, n)
+    data: jax.Array          # (ndiag, nrows)
     offsets: Tuple[int, ...]
     shape: Tuple[int, int]
     nnz: int = 0
@@ -72,70 +74,73 @@ class DIA:
 
 def pack_dia(mat, dtype=np.float32,
              max_bytes_ratio: float = 1.5) -> DIA | None:
-    """Pack a square scipy matrix by diagonals; None when padding would
-    cost more than ``max_bytes_ratio`` x the CSR bytes (~12 B/nnz)."""
+    """Pack a scipy matrix by diagonals; None when padding would cost more
+    than ``max_bytes_ratio`` x the CSR bytes (~12 B/nnz)."""
     csr = sp.csr_matrix(mat)
-    if csr.shape[0] != csr.shape[1]:
-        return None
     csr.sum_duplicates()
-    n = csr.shape[0]
+    nrows, ncols = csr.shape
     coo = csr.tocoo()
     off = coo.col.astype(np.int64) - coo.row.astype(np.int64)
     uniq = np.unique(off)
     ndiag = int(uniq.size) if uniq.size else 1
     itemsize = np.dtype(dtype).itemsize
     if (max_bytes_ratio > 0 and csr.nnz
-            and ndiag * n * itemsize > max_bytes_ratio * csr.nnz * 12.0):
+            and ndiag * nrows * itemsize > max_bytes_ratio * csr.nnz * 12.0):
         return None
-    data = np.zeros((ndiag, n), dtype=dtype)
+    data = np.zeros((ndiag, nrows), dtype=dtype)
     if csr.nnz:
         k = np.searchsorted(uniq, off)
         data[k, coo.row] = coo.data
     offsets = tuple(int(o) for o in (uniq if uniq.size else [0]))
     return DIA(data=jnp.asarray(data), offsets=offsets,
-               shape=(n, n), nnz=int(csr.nnz))
+               shape=(int(nrows), int(ncols)), nnz=int(csr.nnz))
+
+
+def _pads(mat: DIA):
+    """Left/right padding of the operand so every shifted slice is valid."""
+    nrows, ncols = mat.shape
+    neg = max(0, -min(mat.offsets))
+    pos = max(0, max(mat.offsets) + nrows - ncols)
+    return neg, pos
 
 
 def dia_matvec(mat: DIA, x: jax.Array) -> jax.Array:
     """y = mat @ x as a fused chain of shifted multiply-adds."""
-    n = mat.shape[0]
-    neg = max(0, -min(mat.offsets))
-    pos = max(0, max(mat.offsets))
+    nrows = mat.shape[0]
+    neg, pos = _pads(mat)
     xp = jnp.pad(x, (neg, pos))
     d = mat.data.astype(x.dtype)
-    acc = jnp.zeros(n, x.dtype)
+    acc = jnp.zeros(nrows, x.dtype)
     for k, off in enumerate(mat.offsets):
-        acc = acc + d[k] * jax.lax.dynamic_slice_in_dim(xp, neg + off, n)
+        acc = acc + d[k] * jax.lax.dynamic_slice_in_dim(xp, neg + off, nrows)
     return acc
 
 
 def dia_rmatvec(mat: DIA, y: jax.Array) -> jax.Array:
     """x = mat.T @ y.  M.T's diagonal at offset -o holds ``data[k]`` shifted
     by o, so each term is a shifted scatter of the elementwise product."""
-    n = mat.shape[0]
-    neg = max(0, -min(mat.offsets))
-    pos = max(0, max(mat.offsets))
+    nrows, ncols = mat.shape
+    neg, pos = _pads(mat)
     d = mat.data.astype(y.dtype)
-    acc = jnp.zeros(n + neg + pos, y.dtype)
+    acc = jnp.zeros(ncols + neg + pos, y.dtype)
     for k, off in enumerate(mat.offsets):
         acc = jax.lax.dynamic_update_slice_in_dim(
             acc,
-            jax.lax.dynamic_slice_in_dim(acc, neg + off, n) + d[k] * y,
+            jax.lax.dynamic_slice_in_dim(acc, neg + off, nrows) + d[k] * y,
             neg + off, 0)
-    return acc[neg: neg + n]
+    return acc[neg: neg + ncols]
 
 
 def dia_matmat(mat: DIA, X: jax.Array) -> jax.Array:
-    """Y = mat @ X for a dense (n, r) block — same shifted-slice chain."""
-    n = mat.shape[0]
-    neg = max(0, -min(mat.offsets))
-    pos = max(0, max(mat.offsets))
+    """Y = mat @ X for a dense (ncols, r) block — same shifted-slice chain."""
+    nrows = mat.shape[0]
+    neg, pos = _pads(mat)
     Xp = jnp.pad(X, ((neg, pos), (0, 0)))
     d = mat.data.astype(X.dtype)
-    acc = jnp.zeros((n, X.shape[1]), X.dtype)
+    acc = jnp.zeros((nrows, X.shape[1]), X.dtype)
     for k, off in enumerate(mat.offsets):
         acc = acc + d[k][:, None] * jax.lax.dynamic_slice_in_dim(
-            Xp, neg + off, n, axis=0)
+            Xp, neg + off, nrows, axis=0)
     return acc
 
 

@@ -232,3 +232,24 @@ def test_cvxqp1_kp_packs_dia_spill(cvxqp1):
     ref = (ksp @ x.astype(np.float64)).astype(np.float32)
     denom = np.linalg.norm(ref)
     assert np.linalg.norm(y - ref) / denom < 1e-5
+
+
+def test_dia_rectangular_matches_scipy(rng):
+    from cpkrylov_tpu.ops.dia import (dia_matmat, dia_matvec, dia_rmatvec,
+                                      pack_dia)
+
+    for nr, nc in [(60, 200), (200, 60), (128, 128)]:
+        M = sp.random(nr, nc, density=0.05, random_state=rng, format="csr")
+        d = pack_dia(M, dtype=np.float64, max_bytes_ratio=0)
+        x = rng.standard_normal(nc)
+        y = rng.standard_normal(nr)
+        X = rng.standard_normal((nc, 4))
+        np.testing.assert_allclose(np.asarray(dia_matvec(d, jnp.asarray(x))),
+                                   M @ x, rtol=1e-12, atol=1e-12,
+                                   err_msg=f"{nr}x{nc} matvec")
+        np.testing.assert_allclose(np.asarray(dia_rmatvec(d, jnp.asarray(y))),
+                                   M.T @ y, rtol=1e-12, atol=1e-12,
+                                   err_msg=f"{nr}x{nc} rmatvec")
+        np.testing.assert_allclose(np.asarray(dia_matmat(d, jnp.asarray(X))),
+                                   M @ X, rtol=1e-12, atol=1e-12,
+                                   err_msg=f"{nr}x{nc} matmat")
