@@ -140,20 +140,39 @@ class DistPlan:
 
 def plan_dist(A, B, C, ndev: int, dtype=np.float64, halo: bool = True
               ) -> DistPlan:
-    import scipy.sparse as sp
+    from ..operators.linop import cache_device_form
 
-    blocks = partition_blocks(A, B, C, ndev, dtype=dtype)
-    halos = {"a": None, "b": None, "bt": None, "c": None}
-    if halo:
-        A = sp.csr_matrix(A)
-        B = sp.csr_matrix(B)
-        C = sp.csr_matrix(C)
-        halos["a"] = _try_halo(A, ndev, blocks.n_loc, blocks.n_loc, dtype)
-        halos["b"] = _try_halo(B, ndev, blocks.m_loc, blocks.n_loc, dtype)
-        halos["bt"] = _try_halo(B.T.tocsr(), ndev, blocks.n_loc,
-                                blocks.m_loc, dtype)
-        halos["c"] = _try_halo(C, ndev, blocks.m_loc, blocks.m_loc, dtype)
-    return DistPlan(blocks=blocks, halos=halos)
+    def build():
+        import scipy.sparse as sp
+
+        blocks = partition_blocks(A, B, C, ndev, dtype=dtype)
+        halos = {"a": None, "b": None, "bt": None, "c": None}
+        if halo:
+            Ac = sp.csr_matrix(A)
+            Bc = sp.csr_matrix(B)
+            Cc = sp.csr_matrix(C)
+            halos["a"] = _try_halo(Ac, ndev, blocks.n_loc, blocks.n_loc,
+                                   dtype)
+            halos["b"] = _try_halo(Bc, ndev, blocks.m_loc, blocks.n_loc,
+                                   dtype)
+            halos["bt"] = _try_halo(Bc.T.tocsr(), ndev, blocks.n_loc,
+                                    blocks.m_loc, dtype)
+            halos["c"] = _try_halo(Cc, ndev, blocks.m_loc, blocks.m_loc,
+                                   dtype)
+        return DistPlan(blocks=blocks, halos=halos)
+
+    # Memoized per host-A (same ndev/dtype/halo): repeated dist_solve calls
+    # on one system must reuse both the packed blocks AND the plan object
+    # identity — the compiled shard_map program is cached on it below.
+    return cache_device_form(
+        A, ("dist_plan", ndev, np.dtype(dtype).str, bool(halo)), build)
+
+
+# Compiled shard_map programs, keyed by (plan identity, mesh, kernel,
+# options, shift flag).  Without this every dist_solve call rebuilds the
+# closure and XLA recompiles the whole region (~100 s at production sizes
+# — round-3 bench_scaling was timing recompilation, not solves).
+_MAPPED_CACHE: dict = {}
 
 
 def dist_solve(mesh: Mesh, method: str, b, A, B, C, G, *,
@@ -284,12 +303,27 @@ def dist_solve(mesh: Mesh, method: str, b, A, B, C, G, *,
         qr_resid_history=P() if has_hists else None,
     )
 
-    mapped = shard_map(
-        body, mesh=mesh,
-        in_specs=(*spec_blocks, spec_M, P(AXIS), P(AXIS)),
-        out_specs=(res_spec, P(AXIS), P(AXIS)),
-        check_vma=False,
-    )
+    # Reuse the compiled program across calls with the same plan/mesh/
+    # kernel/options/precond structure: `body` is a fresh closure per call,
+    # so without an explicit cache jax.jit retraces (and XLA recompiles)
+    # every solve.
+    import weakref
+
+    key = (id(plan), mesh, method, opts, shift,
+           jax.tree_util.tree_structure((M, operands)))
+    mapped = _MAPPED_CACHE.get(key)
+    if mapped is None:
+        mapped = jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(*spec_blocks, spec_M, P(AXIS), P(AXIS)),
+            out_specs=(res_spec, P(AXIS), P(AXIS)),
+            check_vma=False,
+        ))
+        _MAPPED_CACHE[key] = mapped
+        try:
+            weakref.finalize(plan, _MAPPED_CACHE.pop, key, None)
+        except TypeError:  # pragma: no cover
+            pass
     res, x1, x2 = mapped(*operands, M, b1_sh, b2_sh)
     # Trim shard padding on the gathered outputs.
     res = dataclasses.replace(res, x=res.x[:n], y=res.y[:m])
