@@ -196,7 +196,16 @@ def main() -> None:
         rel_resid = final_true_resid / float(hist[0])
         nouter = 1
 
-    work = work_model(M, nnz_a, nnz_c)
+    # Mirror solve_mixed's lean-inner logic so the work/byte model counts
+    # what actually ran: with an f32-exact factor the inner solves drop
+    # the per-application refinement pass.
+    M_eff = M
+    if mixed and M.factor_nitref == 0:
+        import dataclasses as _dc
+
+        M_eff = _dc.replace(M, options=_dc.replace(
+            M.options, nitref=0, force_itref=False))
+    work = work_model(M_eff, nnz_a, nnz_c)
     nnz_per_s = iters * work.nnz_per_iter / device_s
 
     bpi = _bytes_per_iter(M, a_dev, c_dev, work, itemsize)

@@ -94,6 +94,7 @@ def _run_point(ndev: int, rows: int, iters: int, dtype):
         "precond": precond,
         "halo_hot_path": bool(halo_hot),
         "iters": int(res.niters),
+        "istatus": int(res.istatus),
         "gen_s": round(gen_s, 2),
         "precond_build_s": round(build_s, 2),
         "compile_s": round(compile_s, 2),
@@ -126,8 +127,13 @@ def main():
 
     if args.force_cpu_devices:
         jax.config.update("jax_platforms", "cpu")
-    dtype = np.float64 if args.f64 else np.float32
-    if args.f64:
+    # Virtual-CPU validation runs in f64: f32 recurrences break down
+    # (indefiniteness guard) when rtol=0 forces iterations past the f32
+    # floor, truncating the measured iteration count.  Real TPU runs use
+    # f32 unless --f64 is given.
+    use_f64 = args.f64 or bool(args.force_cpu_devices)
+    dtype = np.float64 if use_f64 else np.float32
+    if use_f64:
         jax.config.update("jax_enable_x64", True)
 
     devlist = [int(d) for d in args.devices.split(",")]
@@ -136,23 +142,7 @@ def main():
     mode = ("virtual-cpu" if args.force_cpu_devices
             else str(jax.devices()[0].device_kind))
 
-    points = []
-    for ndev in devlist:
-        pt = _run_point(ndev, args.rows_per_dev * ndev, args.iters, dtype)
-        points.append(pt)
-        print(json.dumps(pt), flush=True)
-    if points:
-        base = points[0]["gnnz_per_s"] / points[0]["ndev"]
-        for pt in points:
-            pt["weak_scaling_efficiency"] = round(
-                pt["gnnz_per_s"] / pt["ndev"] / base, 4)
-
-    big = None
-    if args.big_rows:
-        big = _run_point(devlist[-1], args.big_rows, max(2, args.iters // 2),
-                         dtype)
-        print(json.dumps(big), flush=True)
-
+    out = pathlib.Path(__file__).parent / "SCALING_REPORT.json"
     report = {
         "mode": mode,
         "note": ("virtual CPU devices share one host's cores: this table "
@@ -161,11 +151,30 @@ def main():
                  "scaling" if mode == "virtual-cpu" else
                  "real-device scaling"),
         "rows_per_dev": args.rows_per_dev,
-        "points": points,
-        "big_point": big,
+        "points": [],
+        "big_point": None,
     }
-    out = pathlib.Path(__file__).parent / "SCALING_REPORT.json"
-    out.write_text(json.dumps(report, indent=1))
+
+    def flush_report():
+        pts = report["points"]
+        if pts:
+            base = pts[0]["gnnz_per_s"] / pts[0]["ndev"]
+            for pt in pts:
+                pt["weak_scaling_efficiency"] = round(
+                    pt["gnnz_per_s"] / pt["ndev"] / base, 4)
+        out.write_text(json.dumps(report, indent=1))
+
+    for ndev in devlist:
+        pt = _run_point(ndev, args.rows_per_dev * ndev, args.iters, dtype)
+        report["points"].append(pt)
+        print(json.dumps(pt), flush=True)
+        flush_report()           # partial artifact survives a timeout
+
+    if args.big_rows:
+        report["big_point"] = _run_point(devlist[-1], args.big_rows,
+                                         max(2, args.iters // 2), dtype)
+        print(json.dumps(report["big_point"]), flush=True)
+        flush_report()
     print(json.dumps({"wrote": str(out)}))
 
 

@@ -78,6 +78,7 @@ def solve_mixed(method, b, A, B, C, G, *,
                 inner_rtol: float = 1.0e-4,
                 inner_stagwin: int = 30,
                 max_outer: int = 10,
+                lean_inner: bool = True,
                 backend: str = "auto", ordering="auto",
                 panel: int = 256, spmv_format: str = "auto",
                 tile_rows: int = 2048, M=None) -> MixedSolveOutput:
@@ -88,6 +89,16 @@ def solve_mixed(method, b, A, B, C, G, *,
     the relative reduction requested from each f32 inner solve; the inner
     kernels stop honestly at their attainable floor, so a loose value
     (default 1e-4 ≈ the f32 stagnation floor) avoids wasted iterations.
+
+    ``lean_inner`` (default True) strips the user's iterative-refinement
+    request (``nitref``/``force_itref``) from the INNER preconditioner:
+    each forced pass costs a full extra factor solve + K_P SpMV per
+    application, and its accuracy target — residuals below the refinement
+    tolerance — is subsumed by the OUTER f64 true-residual refinement,
+    which enforces a strictly stronger contract than the reference's
+    per-application refinement (opLDL2.m:173-187).  The GHN residual
+    update is kept (it shapes the preconditioned trajectory).  Pass
+    ``lean_inner=False`` for literal per-application parity.
 
     All blocks must be explicit host matrices (see ``_as_host_matrix``).
     """
@@ -112,6 +123,17 @@ def solve_mixed(method, b, A, B, C, G, *,
         panel=panel, dtype=np.float32, spmv_format=spmv_format,
         tile_rows=tile_rows)
     ptime = time.perf_counter() - t0
+    if (lean_inner and M32.factor_nitref == 0
+            and (M32.options.nitref > 0 or M32.options.force_itref)):
+        # The build-time probe certified the f32 factor exact-at-dtype:
+        # the per-application refinement passes can't improve the inner
+        # corrections, so drop them (factors are reused, only the
+        # behavioural options change).  Ill-conditioned factors
+        # (factor_nitref=1, e.g. the cvxqp fixtures' delta-regularized
+        # K_P) keep the user's refinement semantics.
+        M32 = dataclasses.replace(
+            M32, options=dataclasses.replace(M32.options, nitref=0,
+                                             force_itref=False))
 
     # The stagnation window bounds each inner pass near the f32 accuracy
     # floor (residual *estimates* keep creeping down long after real
