@@ -204,7 +204,7 @@ def main() -> None:
         import dataclasses as _dc
 
         M_eff = _dc.replace(M, options=_dc.replace(
-            M.options, nitref=0, force_itref=False))
+            M.options, nitref=0, force_itref=False, residual_update=False))
     work = work_model(M_eff, nnz_a, nnz_c)
     nnz_per_s = iters * work.nnz_per_iter / device_s
 
@@ -213,6 +213,59 @@ def main() -> None:
     bw = _chip_bandwidth(dev)
     sol_fraction = achieved_gbps * 1e9 / bw
     vs_baseline = sol_fraction / 0.70
+
+    # --- context measurements -------------------------------------------
+    # (a) fixed-vs-marginal decomposition: dispatch + sync round trips over
+    # the tunnel cost ~100 ms per solve call regardless of iterations; the
+    # marginal per-iteration cost is what scales.  Two capped runs of the
+    # same (lean) inner configuration separate them.
+    # (b) measured streaming ceiling: nominal HBM peak is not attainable
+    # through this environment; an axpy chain records what is.
+    import jax.numpy as jnp
+
+    marginal = {}
+    if on_tpu and mixed:
+        try:
+            import dataclasses as _dc2
+
+            from cpkrylov_tpu.solvers.common import reduce_axis  # noqa: F401
+
+            b32 = (sysm.b / np.linalg.norm(sysm.b)).astype(np.float32)
+            lean_popts = _dc2.replace(popts, nitref=0, force_itref=False,
+                                      residual_update=False)
+            M_lean = _dc2.replace(M, options=lean_popts) \
+                if M.factor_nitref == 0 else M
+            walls = {}
+            for cap in (1, 9):
+                o = solve("cpminres", b32, sysm.A, sysm.B, sysm.C, sysm.G,
+                          opts=SolverOptions(atol=0.0, rtol=0.0, itmax=cap),
+                          M=M_lean, dtype=np.float32, refine=False)
+                o = solve("cpminres", b32, sysm.A, sysm.B, sysm.C, sysm.G,
+                          opts=SolverOptions(atol=0.0, rtol=0.0, itmax=cap),
+                          M=M_lean, dtype=np.float32, refine=False)
+                walls[cap] = (o.stime, int(o.niters))
+            k1, k9 = walls[1][1], walls[9][1]
+            if k9 > k1:
+                per = (walls[9][0] - walls[1][0]) / (k9 - k1)
+                marginal = {
+                    "fixed_per_solve_ms": round(
+                        (walls[1][0] - per * k1) * 1e3, 1),
+                    "marginal_per_iter_ms": round(per * 1e3, 2),
+                    "marginal_gbps": round(bpi / per / 1e9, 1),
+                    "sol_fraction_marginal": round(bpi / per / bw, 4),
+                }
+        except Exception as exc:  # noqa: BLE001 — context only
+            marginal = {"error": str(exc)[:120]}
+
+        t0 = time.perf_counter()
+        stream = jax.jit(lambda v: jax.lax.fori_loop(
+            0, 20, lambda i, w: w * jnp.float32(1.0000001) + 0.5, v))
+        big = jnp.ones(50_000_000, jnp.float32)
+        sync(stream(big))
+        t0 = time.perf_counter()
+        sync(stream(big))
+        dt = (time.perf_counter() - t0) / 20
+        marginal["stream_gbps_measured"] = round(4e8 / dt / 1e9, 1)
 
     solved = bool(out.solved)
     report = {
@@ -240,6 +293,7 @@ def main() -> None:
         "hbm_peak_gbps": bw / 1e9,
         "sol_fraction": round(sol_fraction, 4),
         "factor_nitref": int(M.factor_nitref),
+        "overhead_decomposition": marginal or None,
         "a_format": type(a_dev).__name__,
         "kp_format": type(M.kp).__name__,
         "tf1": type(M.factor.tf1).__name__,

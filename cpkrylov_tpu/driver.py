@@ -228,23 +228,33 @@ def solve(method, b, A, B, C, G, *,
     B_op = aslinearoperator(B_dev if B_dev is not None else B, dtype=dtype)
     shift = bool(np.any(b[n:]))                     # reg_cpkrylov.m:154
     b_dev = jnp.asarray(b, dtype=dtype)
+    # Force the RHS upload to finish BEFORE the timed region: device_put is
+    # async, so without this barrier the transfer lands inside stime
+    # (~100 ms for a 5 MB vector over the tunnel).
+    from .utils.timing import sync
+    sync(b_dev)
 
     t1 = time.perf_counter()
     res, x1, x2 = _solve_core(method, b_dev, A_op, C_op, B_op, M, opts, shift)
     # block_until_ready is a no-op on some remote backends (axon tunnel);
-    # a one-element host fetch is the only honest completion barrier.
-    from .utils.timing import sync
-    sync(x1, x2)
+    # a one-element host fetch is the only honest completion barrier.  One
+    # COMBINED fetch — each leaf fetched separately costs a full tunnel
+    # round trip (~40 ms each).
+    sync(jnp.concatenate([x1[:1], x2[:1]]))
     stime = time.perf_counter() - t1
 
     if debug:
         from .utils.debug import check_finite
         check_finite((x1, x2), "solution")
-    hist = np.asarray(res.resid_history)
+    # One batched fetch for the scalar stats + history (separate python
+    # conversions each cost a tunnel round trip).
+    niters, hist, solved, istatus = jax.device_get(
+        (res.niters, res.resid_history, res.solved, res.istatus))
+    hist = np.asarray(hist)
     return SolveOutput(
         x=jnp.concatenate([x1, x2]), x1=x1, x2=x2,
-        niters=int(res.niters),
+        niters=int(niters),
         resid_history=hist[~np.isnan(hist)],
-        solved=bool(res.solved), istatus=int(res.istatus),
+        solved=bool(solved), istatus=int(istatus),
         ptime=ptime, stime=stime, result=res,
     )

@@ -124,16 +124,24 @@ def solve_mixed(method, b, A, B, C, G, *,
         tile_rows=tile_rows)
     ptime = time.perf_counter() - t0
     if (lean_inner and M32.factor_nitref == 0
-            and (M32.options.nitref > 0 or M32.options.force_itref)):
+            and (M32.options.nitref > 0 or M32.options.force_itref
+                 or M32.options.residual_update)):
         # The build-time probe certified the f32 factor exact-at-dtype:
-        # the per-application refinement passes can't improve the inner
-        # corrections, so drop them (factors are reused, only the
-        # behavioural options change).  Ill-conditioned factors
-        # (factor_nitref=1, e.g. the cvxqp fixtures' delta-regularized
-        # K_P) keep the user's refinement semantics.
+        # drop BOTH per-application refinement and the GHN residual update
+        # for the inner solves (factors are reused, only the behavioural
+        # options change).  Refinement's accuracy target is subsumed by
+        # the outer f64 true-residual loop; the GHN update must go WITH it
+        # — it presumes near-exact constraint-block solves, and feeding it
+        # unrefined f32 applications amplifies the ~1e-7 solve error into
+        # genuine indefiniteness (measured on the 1.25M-row bench system:
+        # GHN + no-itref breaks down at iteration 1; GHN off converges in
+        # the same 7 iterations as the full reference configuration).
+        # Ill-conditioned factors (factor_nitref=1, e.g. the cvxqp
+        # fixtures' delta-regularized K_P) keep the user's semantics.
         M32 = dataclasses.replace(
             M32, options=dataclasses.replace(M32.options, nitref=0,
-                                             force_itref=False))
+                                             force_itref=False,
+                                             residual_update=False))
 
     # The stagnation window bounds each inner pass near the f32 accuracy
     # floor (residual *estimates* keep creeping down long after real

@@ -177,9 +177,13 @@ def coupled_dot(u, v, t, q):
     return vdot(u, v) + vdot(t, q)
 
 
-def eps100(dtype) -> float:
+def eps100(dtype, size: int = 0) -> float:
     """The reference's ``100*eps`` indefiniteness threshold
-    (cpminres.m:135)."""
+    (cpminres.m:135).  ``size`` is accepted for call-site symmetry but
+    unused: near the f32 floor the guard doubles as a cheap breakdown
+    detector (a small-negative beta^2 from roundoff ends the pass ~20
+    iterations earlier than the stagnation window would), so loosening it
+    with a reduction-error model costs more than it saves."""
     return 100.0 * float(np.finfo(np.dtype(dtype)).eps)
 
 
