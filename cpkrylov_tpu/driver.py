@@ -145,8 +145,9 @@ def solve(method, b, A, B, C, G, *,
 
     ``spmv_format`` selects the device layout for the hot-loop SpMVs
     (every ``A*v`` / K_P multiply, cpminres.m:187 / opLDL2.m:170-175):
-    "auto" uses the RCM-permuted PGELL Pallas kernel on TPU for f32 solves
-    and XLA CSR otherwise; "csr" / "pgell" force a layout.
+    "auto" prefers gather-free DIA (with a CSR spill for scattered bands)
+    on TPU for f32 solves, falls back to the RCM+PGELL Pallas kernel, and
+    stays on XLA CSR elsewhere; "csr" / "dia" / "pgell" force a layout.
 
     ``refine`` controls mixed-precision outer refinement: an f32 Krylov
     solve stagnates near the f32 accuracy floor (~5e-3 relative residual

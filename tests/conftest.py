@@ -24,6 +24,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Release compiled executables between test modules.
+
+    The suite accumulates hundreds of XLA CPU executables (six kernels x
+    shapes x sharding layouts); past ~400 the XLA CPU JIT has been
+    observed to segfault during a later compilation (reproducible only in
+    the full-suite run, never in per-file runs).  Dropping the caches at
+    module boundaries keeps the process well under that regime at the cost
+    of a few recompilations."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def cvxqp1():
     from cpkrylov_tpu.utils import fixtures
