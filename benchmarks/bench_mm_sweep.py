@@ -74,6 +74,7 @@ def main() -> None:
     print(hdr)
     print("-" * len(hdr))
 
+    rows = []
     for s in suite:
         xref = spla.spsolve(s.K.tocsc(), s.b)
         for method in kernels:
@@ -87,10 +88,19 @@ def main() -> None:
                 "iters": int(out.niters), "rel_err": err,
                 "solve_s": round(dt, 4), "solved": bool(out.solved),
             }
+            rows.append(row)
             print(f"{s.name:<12} {method:<12} {s.n + s.m:>7} "
                   f"{row['iters']:>6} {err:>9.2e} {dt:>8.3f} "
                   f"{str(row['solved']):>6}")
             print(json.dumps(row))
+
+    artifact = pathlib.Path(__file__).parent / "MM_SWEEP.json"
+    artifact.write_text(json.dumps({
+        "device": str(dev.device_kind), "size": size, "mu": args.mu,
+        "tol": args.tol, "dtype": "f32" if args.f32 else "f64",
+        "rows": rows,
+    }, indent=1))
+    print(json.dumps({"wrote": str(artifact)}))
 
 
 if __name__ == "__main__":

@@ -307,3 +307,36 @@ def debug_iter_print(enabled: bool, k, resid):
     """Per-iteration printing (the reference's ``opts.print`` tables)."""
     if enabled:
         jax.debug.print("{k:5d}  {r:9.2e}", k=k, r=resid)
+
+
+def breakdown_resid_recheck(solved, istatus, resid_est, stop_tol,
+                            b, A, C_op, M, mstate, x, y):
+    """Re-judge ``solved`` with a freshly computed residual on
+    breakdown-class exits.
+
+    Near Krylov-space exhaustion ``beta^2 ~ 0`` flips sign in roundoff one
+    step short of the tolerance: the iterate is already (nearly) exact but
+    the in-recurrence residual ESTIMATE lags, the indefiniteness guard
+    fires, and the reference simply crashes there (cpminres.m:195-199).
+    This recomputes the true preconditioned residual exactly the way the
+    GMRES restart reseeds its basis (cpgmres.m:167-171: one A matvec, one
+    C matvec, one preconditioner application, one coupled norm) and
+    re-evaluates the SAME stopping contract ``resid <= stop_tol``.
+    ``istatus`` keeps reporting the guard; genuinely indefinite systems
+    carry a large true residual and stay unsolved.
+    """
+    breakdownish = ((istatus == STATUS_INDEFINITE)
+                    | (istatus == STATUS_BREAKDOWN))
+
+    def recheck(_):
+        u = b - A.matvec(x)
+        t = C_op.matvec(y)
+        _, w1, w2, _ = M.apply_nm(mstate, u, -t)
+        q1 = y - w2
+        dot = coupled_dot(u, w1, t, q1)
+        return jnp.sqrt(jnp.maximum(dot, 0.0))
+
+    resid_true = jax.lax.cond(breakdownish, recheck,
+                              lambda _: jnp.asarray(resid_est), None)
+    solved = jnp.where(breakdownish, resid_true <= stop_tol, solved)
+    return solved, resid_true

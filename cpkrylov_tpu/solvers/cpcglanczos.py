@@ -18,9 +18,10 @@ from ..config import SolverOptions
 from ..precond.cp import CPPrecond, CPState
 from .common import (KrylovResult, STATUS_BACKWARD, STATUS_INDEFINITE,
                      STATUS_ITMAX, STATUS_SOLVED, STATUS_STAGNATED,
-                     apply_manifold_veto, eps100, history_init,
-                     initial_lanczos_pair, lanczos_step, resolve_itmax,
-                     resolve_operators, stag_init, stag_stop, stag_update, vdot)
+                     apply_manifold_veto, breakdown_resid_recheck, eps100,
+                     history_init, initial_lanczos_pair, lanczos_step,
+                     resolve_itmax, resolve_operators, stag_init, stag_stop,
+                     stag_update, vdot)
 
 
 class _Carry(NamedTuple):
@@ -209,6 +210,11 @@ def cpcglanczos(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
                             jnp.where(stag_stop(out.stag_since, opts.stagwin),
                                       STATUS_STAGNATED, STATUS_ITMAX))),
     ).astype(jnp.int32)
+    # Krylov exhaustion fires the indefiniteness guard with an excellent
+    # iterate in hand; re-judge `solved` on a fresh residual (common.py).
+    solved, _ = breakdown_resid_recheck(solved, istatus, resid_out,
+                                        stop_tol, b, A, C, M, out.mstate,
+                                        x_out, y_out)
     solved, istatus = apply_manifold_veto(solved, istatus, B, C, x_out,
                                           y_out, stop_tol)
     return KrylovResult(x=x_out, y=y_out, niters=out.k,

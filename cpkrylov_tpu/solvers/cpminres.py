@@ -16,9 +16,10 @@ from ..config import SolverOptions
 from ..precond.cp import CPPrecond, CPState
 from .common import (KrylovResult, STATUS_INDEFINITE, STATUS_ITMAX,
                      STATUS_SOLVED, STATUS_STAGNATED, apply_manifold_veto,
-                     coupled_dot, eps100, history_init, lanczos_step,
-                     resolve_itmax, resolve_operators, safe_normalize_pair,
-                     stag_init, stag_stop, stag_update, vdot)
+                     breakdown_resid_recheck, coupled_dot, eps100,
+                     history_init, lanczos_step, resolve_itmax,
+                     resolve_operators, safe_normalize_pair, stag_init,
+                     stag_stop, stag_update, vdot)
 
 
 class _Carry(NamedTuple):
@@ -163,6 +164,12 @@ def cpminres(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
                   jnp.where(stag_stop(out.stag_since, opts.stagwin),
                             STATUS_STAGNATED, STATUS_ITMAX)),
     ).astype(jnp.int32)
+    # Krylov exhaustion fires the indefiniteness guard one step short of
+    # the tolerance while the iterate is already essentially exact; judge
+    # `solved` on a freshly computed residual there (common.py).
+    solved, _ = breakdown_resid_recheck(solved, istatus, out.resid,
+                                        stop_tol, b, A, C, M, out.mstate,
+                                        out.x, out.y)
     solved, istatus = apply_manifold_veto(solved, istatus, B, C, out.x,
                                           out.y, stop_tol)
     return KrylovResult(x=out.x, y=out.y, niters=out.k,

@@ -18,9 +18,9 @@ from ..config import SolverOptions
 from ..precond.cp import CPPrecond, CPState
 from .common import (KrylovResult, STATUS_INDEFINITE, STATUS_ITMAX,
                      STATUS_SOLVED, STATUS_STAGNATED, apply_manifold_veto,
-                     eps100, initial_lanczos_pair, lanczos_step,
-                     resolve_itmax, resolve_operators, stag_init, stag_stop,
-                     stag_update)
+                     breakdown_resid_recheck, eps100, initial_lanczos_pair,
+                     lanczos_step, resolve_itmax, resolve_operators,
+                     stag_init, stag_stop, stag_update)
 
 
 class _Carry(NamedTuple):
@@ -238,6 +238,11 @@ def cpsymmlq(b, A, C, M: CPPrecond, opts: SolverOptions | None = None,
                   jnp.where(stag_stop(out.stag_since, opts.stagwin),
                             STATUS_STAGNATED, STATUS_ITMAX)),
     ).astype(jnp.int32)
+    # Krylov exhaustion fires the indefiniteness guard with an excellent
+    # iterate in hand; re-judge `solved` on a fresh residual (common.py).
+    solved, _ = breakdown_resid_recheck(solved, istatus, cgresid_out,
+                                        stop_tol, b, A, C, M, out.mstate,
+                                        x_final, y_final)
     solved, istatus = apply_manifold_veto(solved, istatus, B, C, x_final,
                                           y_final, stop_tol)
     return KrylovResult(x=x_final, y=y_final, niters=out.k,
