@@ -65,6 +65,10 @@ def _mat_bytes(mat, nrows: int, itemsize: int) -> float:
 
 def _factor_traffic(tf, itemsize: int) -> float:
     """HBM bytes one triangular solve reads/writes for a prepared factor."""
+    if hasattr(tf, "inv_t"):      # PallasTriFactor: one fused kernel pass
+        isz = np.dtype(tf.inv_t.dtype).itemsize
+        return float((tf.inv_t.size + tf.w_t.size) * isz
+                     + 2.0 * tf.nb * tf.panel * isz)    # b in, x out
     if hasattr(tf, "w_blocks"):   # ReducedScanTriFactor: r-state scan
         # lax.associative_scan is work-efficient (~2 combines per element,
         # not log-depth full passes): inv_diag + w one pass each, plus ~4

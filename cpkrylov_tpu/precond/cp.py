@@ -258,6 +258,18 @@ def _build_tri(T, panel: int, dtype, max_scan_bytes: int = 2 << 30):
     # <= ~3x the A SpMV).  Wide-reach factors still escalate through the
     # larger panels under the memory cap.
     p0 = max(16, -(-max(reach, 1) // 8) * 8)
+    # TPU f32 hot path: the fused Pallas trisolve kernel (pallas_tri.py)
+    # replaces the associative_scan state pass — XLA's scan on (nb, r, r)
+    # operands runs ~5x slower than the kernel's one-pass lane-major form
+    # (measured round 4, benchmarks/exp_tri_pieces.py).
+    use_pallas = False
+    try:
+        import jax as _jax
+
+        use_pallas = (_jax.default_backend() == "tpu"
+                      and np.dtype(dtype) == np.float32)
+    except Exception:  # pragma: no cover - backend probing must never fail
+        use_pallas = False
     for p in (p0, 128, 256, 512, 1024):
         # n >= 2048 keeps small systems on plain blocked substitution —
         # already cheap there, and free of the scan's extra roundoff
@@ -266,6 +278,12 @@ def _build_tri(T, panel: int, dtype, max_scan_bytes: int = 2 << 30):
             mem = (-(-n // p)) * p * p * itemsize   # dense panel inverses
             if mem > max_scan_bytes:
                 break
+            if use_pallas:
+                from .pallas_tri import build_pallas_tri
+
+                tf = build_pallas_tri(T, panel=p, dtype=dtype)
+                if tf is not None:
+                    return tf
             tf = build_reduced_scan_tri(T, panel=p, dtype=dtype)
             if tf is not None:
                 return tf

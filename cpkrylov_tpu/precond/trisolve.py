@@ -343,10 +343,13 @@ def reduced_scan_tri_solve(tf: ReducedScanTriFactor, b: jax.Array):
     return x.reshape(-1)[: tf.n]
 
 
-def build_reduced_scan_tri(T, panel: int = 128, r: int | None = None,
-                           dtype=None) -> ReducedScanTriFactor | None:
-    """Prepare T for the reduced-state scan; None when the reach exceeds
-    ``panel`` (caller falls back)."""
+def pack_reduced_scan_np(T, panel: int = 128, r: int | None = None,
+                         dtype=None):
+    """Host-side packing for the reduced-state scan forms: returns numpy
+    ``(inv (nb, p, p), w (nb, p, r), n, panel, r)`` or None when the reach
+    exceeds ``panel``.  Shared by the XLA ``ReducedScanTriFactor`` and the
+    lane-major Pallas factor (pallas_tri.py) so the latter never round-trips
+    operands through the device."""
     T, er, ec, ev = _coo_canonical(T)
     n = T.shape[0]
     dtype = dtype or T.dtype
@@ -379,15 +382,30 @@ def build_reduced_scan_tri(T, panel: int = 128, r: int | None = None,
         prod = np.matmul(np.ascontiguousarray(inv64[1:, :, :reach]),
                          sub_c[1:])
         w[1:] = prod.astype(dtype)
+    return inv64.astype(dtype), w, int(n), int(panel), int(r)
+
+
+def build_reduced_scan_tri(T, panel: int = 128, r: int | None = None,
+                           dtype=None) -> ReducedScanTriFactor | None:
+    """Prepare T for the reduced-state scan; None when the reach exceeds
+    ``panel`` (caller falls back)."""
+    packed = pack_reduced_scan_np(T, panel=panel, r=r, dtype=dtype)
+    if packed is None:
+        return None
+    inv, w, n, panel, r = packed
     return ReducedScanTriFactor(
-        inv_diag=jnp.asarray(inv64.astype(dtype)),
+        inv_diag=jnp.asarray(inv),
         w_blocks=jnp.asarray(w),
-        n=int(n), panel=int(panel), r=int(r))
+        n=n, panel=panel, r=r)
 
 
 def tri_solve(tf, b: jax.Array) -> jax.Array:
     """Dispatch on the prepared factor kind (static under jit: the factor
     class is part of the pytree structure)."""
+    if hasattr(tf, "inv_t"):       # PallasTriFactor (local import: no cycle)
+        from .pallas_tri import pallas_tri_solve
+
+        return pallas_tri_solve(tf, b)
     if isinstance(tf, ReducedScanTriFactor):
         return reduced_scan_tri_solve(tf, b)
     if isinstance(tf, ScanTriFactor):
