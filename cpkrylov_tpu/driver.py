@@ -103,9 +103,14 @@ class SolveOutput:
     result: KrylovResult       # full kernel result (extra histories etc.)
 
 
-@partial(jax.jit, static_argnames=("method", "opts", "shift"))
-def _solve_core(method: str, b, A_op, C_op, B_op, M: CPPrecond,
-                opts: SolverOptions, shift: bool):
+def _solve_core_impl(method: str, b, A_op, C_op, B_op, M: CPPrecond,
+                     opts: SolverOptions, shift: bool):
+    """Traceable shift -> kernel -> un-shift pipeline (reg_cpkrylov.m:152-173).
+
+    Exposed un-jitted so callers can embed the whole pipeline inside a
+    larger jitted program (mixed.solve_mixed's device-resident outer loop);
+    ``_solve_core`` is the stand-alone jitted form.
+    """
     n, m = M.n, M.m
     mstate = M.init_state(b.dtype)
     if shift:
@@ -125,6 +130,10 @@ def _solve_core(method: str, b, A_op, C_op, B_op, M: CPPrecond,
     x1 = xy0[:n] + res.x if shift else res.x     # reg_cpkrylov.m:166-172
     x2 = xy0[n:] + res.y if shift else res.y
     return res, x1, x2
+
+
+_solve_core = partial(jax.jit, static_argnames=("method", "opts", "shift"))(
+    _solve_core_impl)
 
 
 def solve(method, b, A, B, C, G, *,

@@ -72,6 +72,20 @@ class MixedSolveOutput:
     inner_outputs: tuple       # per-pass SolveOutput (f32 kernel stats)
 
 
+def _lean_inner_options(M32, lean_inner: bool):
+    """Strip per-application refinement from the inner preconditioner when
+    the f32 factor probe certified it exact-at-dtype (see solve_mixed doc).
+    Shared by the host- and device-resident outer loops."""
+    if (lean_inner and M32.factor_nitref == 0
+            and (M32.options.nitref > 0 or M32.options.force_itref
+                 or M32.options.residual_update)):
+        return dataclasses.replace(
+            M32, options=dataclasses.replace(M32.options, nitref=0,
+                                             force_itref=False,
+                                             residual_update=False))
+    return M32
+
+
 def solve_mixed(method, b, A, B, C, G, *,
                 opts: SolverOptions | None = None,
                 precond_opts: PrecondOptions | None = None,
@@ -81,7 +95,8 @@ def solve_mixed(method, b, A, B, C, G, *,
                 lean_inner: bool = True,
                 backend: str = "auto", ordering="auto",
                 panel: int = 256, spmv_format: str = "auto",
-                tile_rows: int = 2048, M=None) -> MixedSolveOutput:
+                tile_rows: int = 2048, M=None,
+                device_resident: bool | str = "auto") -> MixedSolveOutput:
     """Solve [A Bᵀ; B -C][x1;x2] = b to f64 accuracy with f32 device work.
 
     ``opts.atol``/``opts.rtol`` set the OUTER (true-residual) tolerance:
@@ -123,25 +138,29 @@ def solve_mixed(method, b, A, B, C, G, *,
         panel=panel, dtype=np.float32, spmv_format=spmv_format,
         tile_rows=tile_rows)
     ptime = time.perf_counter() - t0
-    if (lean_inner and M32.factor_nitref == 0
-            and (M32.options.nitref > 0 or M32.options.force_itref
-                 or M32.options.residual_update)):
-        # The build-time probe certified the f32 factor exact-at-dtype:
-        # drop BOTH per-application refinement and the GHN residual update
-        # for the inner solves (factors are reused, only the behavioural
-        # options change).  Refinement's accuracy target is subsumed by
-        # the outer f64 true-residual loop; the GHN update must go WITH it
-        # — it presumes near-exact constraint-block solves, and feeding it
-        # unrefined f32 applications amplifies the ~1e-7 solve error into
-        # genuine indefiniteness (measured on the 1.25M-row bench system:
-        # GHN + no-itref breaks down at iteration 1; GHN off converges in
-        # the same 7 iterations as the full reference configuration).
-        # Ill-conditioned factors (factor_nitref=1, e.g. the cvxqp
-        # fixtures' delta-regularized K_P) keep the user's semantics.
-        M32 = dataclasses.replace(
-            M32, options=dataclasses.replace(M32.options, nitref=0,
-                                             force_itref=False,
-                                             residual_update=False))
+    # The build-time probe certified the f32 factor exact-at-dtype: drop
+    # BOTH per-application refinement and the GHN residual update for the
+    # inner solves (factors are reused, only the behavioural options
+    # change).  Refinement's accuracy target is subsumed by the outer f64
+    # true-residual loop; the GHN update must go WITH it — it presumes
+    # near-exact constraint-block solves, and feeding it unrefined f32
+    # applications amplifies the ~1e-7 solve error into genuine
+    # indefiniteness (measured on the 1.25M-row bench system: GHN +
+    # no-itref breaks down at iteration 1; GHN off converges in the same 7
+    # iterations as the full reference configuration).  Ill-conditioned
+    # factors (factor_nitref=1, e.g. the cvxqp fixtures' delta-regularized
+    # K_P) keep the user's semantics.
+    M32 = _lean_inner_options(M32, lean_inner)
+
+    if device_resident in ("auto", True):
+        devout = _try_solve_mixed_device(
+            method, b, A_h, B_h, C_h, A, B, C, M32, opts,
+            inner_rtol=inner_rtol, inner_stagwin=inner_stagwin,
+            max_outer=max_outer, spmv_format=spmv_format,
+            tile_rows=tile_rows, ptime=ptime, t_all=t_all,
+            forced=device_resident is True)
+        if devout is not None:
+            return devout
 
     # The stagnation window bounds each inner pass near the f32 accuracy
     # floor (residual *estimates* keep creeping down long after real
@@ -192,3 +211,192 @@ def solve_mixed(method, b, A, B, C, G, *,
         stime=time.perf_counter() - t_all,
         inner_outputs=tuple(inner_outputs),
     )
+
+
+# ---------------------------------------------------------------------------
+# Device-resident outer loop (one dispatch per solve)
+# ---------------------------------------------------------------------------
+#
+# The host loop above costs two ~O(N) host<->device transfers plus several
+# dispatch round trips PER OUTER PASS — over a remote/tunneled backend that
+# multiplies a production solve's wall clock by ~10x relative to its device
+# time.  When every block packs into df64 DIA form (ops/df64.py), the whole
+# refinement — inner f32 Krylov solve, df64 solution accumulation, f64-
+# accurate true residual, stopping control — runs as ONE jitted
+# lax.while_loop: a single dispatch and a single scalar fetch per solve,
+# regardless of the outer pass count or tolerance.
+
+def _mixed_device_core_impl(method, b_hi, b_lo, Kdf, A_op, C_op, B_op, M,
+                            opts, stop, max_outer):
+    import jax
+    import jax.numpy as jnp
+
+    from .driver import _solve_core_impl
+    from .ops import df64
+
+    f32 = jnp.float32
+    N = b_hi.shape[0]
+    bnorm = jnp.linalg.norm(b_hi)
+    hist0 = jnp.full(max_outer + 1, jnp.nan, f32).at[0].set(bnorm)
+    iters0 = jnp.zeros(max_outer, jnp.int32)
+    zero = jnp.zeros(N, f32)
+
+    def cond(c):
+        k, _, _, _, _, _, solved, stag, _, _ = c
+        return (~solved) & (k < max_outer) & (stag < 2)
+
+    def body(c):
+        k, xh, xl, rh, rl, rnorm, solved, stag, hist, it = c
+        b1 = rh / rnorm
+        res, x1c, x2c = _solve_core_impl(
+            method, b1, A_op, C_op, B_op, M, opts, True)
+        d = jnp.concatenate([x1c, x2c])
+        xh, xl = df64.df_axpy(rnorm, d, (xh, xl))
+        kx = Kdf.matvec((xh, xl))
+        rh2, rl2 = df64.df_add((b_hi, b_lo), df64.df_neg(kx))
+        new_norm = jnp.linalg.norm(rh2)
+        solved2 = new_norm <= stop
+        stag2 = jnp.where(new_norm > 0.5 * rnorm,
+                          stag + jnp.int32(1), jnp.int32(0))
+        hist = hist.at[k + 1].set(new_norm)
+        it = it.at[k].set(jnp.asarray(res.niters, jnp.int32))
+        rnorm2 = jnp.maximum(new_norm, f32(np.finfo(np.float32).tiny))
+        return (k + 1, xh, xl, rh2, rl2, rnorm2, solved2, stag2, hist, it)
+
+    c0 = (jnp.int32(0), zero, zero, b_hi, b_lo,
+          jnp.maximum(bnorm, f32(np.finfo(np.float32).tiny)),
+          bnorm <= stop, jnp.int32(0), hist0, iters0)
+    k, xh, xl, _, _, _, solved, _, hist, it = jax.lax.while_loop(
+        cond, body, c0)
+    return xh, xl, hist, it, k, solved
+
+
+@dataclasses.dataclass
+class DeviceMixedSolver:
+    """A prepared device-resident mixed solve: all operands on device, one
+    jitted program.  ``dispatch()`` enqueues a full solve WITHOUT syncing
+    (device outputs returned lazily) — benchmarks use this to measure
+    steady-state throughput by pipelining several solves behind one fetch."""
+
+    method: str
+    args: tuple
+    inner_opts: object
+    max_outer: int
+    n: int
+    m: int
+
+    def dispatch(self):
+        return _mixed_device_jit()(self.method, *self.args,
+                                   self.inner_opts, self.args_stop,
+                                   self.max_outer)
+
+    # stop is carried separately so dispatch() stays positional-simple
+    args_stop: np.float32 = np.float32(0.0)
+
+
+def prepare_mixed_device(method, b, A, B, C, M32, opts, *,
+                         inner_rtol: float = 1.0e-4,
+                         inner_stagwin: int = 30, max_outer: int = 10,
+                         spmv_format: str = "auto", tile_rows: int = 2048,
+                         ) -> DeviceMixedSolver | None:
+    """Pack operands for the device-resident outer loop; None when any
+    block cannot take df64 DIA form."""
+    import jax.numpy as jnp
+
+    from .driver import _maybe_pack_pgell, _maybe_pack_rect
+    from .operators.linop import aslinearoperator
+    from .ops import df64
+    from .utils.timing import sync
+
+    A_h = _as_host_matrix(A, "A")
+    B_h = _as_host_matrix(B, "B")
+    C_h = _as_host_matrix(C, "C")
+    # Cached per host-A: the df64 pack uploads ~2x the K bytes — repeating
+    # it per solve would put a multi-second host->device transfer on every
+    # call (measured 4.8 s at n=1M over the tunneled backend).
+    from .operators.linop import cache_device_form
+
+    Kdf = cache_device_form(
+        A, ("df_saddle", id(B), getattr(B, "nnz", 0),
+            id(C), getattr(C, "nnz", 0)),
+        lambda: df64.pack_df_saddle(A_h, B_h, C_h))
+    if Kdf is None:
+        return None
+
+    dtype = np.float32
+    A_dev = _maybe_pack_pgell(A, spmv_format, tile_rows, dtype)
+    A_op = aslinearoperator(A_dev if A_dev is not None else A, dtype=dtype)
+    C_op = aslinearoperator(C, dtype=dtype)
+    B_dev = _maybe_pack_rect(B, spmv_format, dtype)
+    B_op = aslinearoperator(B_dev if B_dev is not None else B, dtype=dtype)
+
+    n, m = A_h.shape[0], C_h.shape[0]
+    b = np.asarray(b, dtype=np.float64).reshape(-1)
+    bh, bl = df64.df_from_f64(b)
+    b_hi, b_lo = jnp.asarray(bh), jnp.asarray(bl)
+    bnorm = float(np.linalg.norm(b))
+    stop = np.float32(opts.atol + opts.rtol * bnorm)
+    inner_opts = dataclasses.replace(opts, atol=0.0, rtol=inner_rtol,
+                                     stagwin=inner_stagwin, reorth=True)
+    sync(b_hi, b_lo, Kdf, A_op, B_op, M32.factor)
+    return DeviceMixedSolver(
+        method=method,
+        args=(b_hi, b_lo, Kdf, A_op, C_op, B_op, M32),
+        inner_opts=inner_opts, max_outer=int(max_outer),
+        n=n, m=m, args_stop=stop)
+
+
+def _try_solve_mixed_device(method, b, A_h, B_h, C_h, A, B, C, M32, opts, *,
+                            inner_rtol, inner_stagwin, max_outer,
+                            spmv_format, tile_rows, ptime, t_all, forced):
+    import jax
+
+    from .ops import df64
+
+    if not forced and jax.default_backend() != "tpu":
+        return None
+    solver = prepare_mixed_device(
+        method, b, A, B, C, M32, opts, inner_rtol=inner_rtol,
+        inner_stagwin=inner_stagwin, max_outer=max_outer,
+        spmv_format=spmv_format, tile_rows=tile_rows)
+    if solver is None:
+        if forced:
+            raise ValueError(
+                "device_resident=True requires blocks that pack into df64 "
+                "DIA form (diagonal C, banded-after-ordering A and B)")
+        return None
+
+    xh, xl, hist, it, k, solved = solver.dispatch()
+    # ONE combined fetch ends the timed region.
+    xh_np, xl_np, hist_np, it_np, k_np, solved_np = jax.device_get(
+        (xh, xl, hist, it, k, solved))
+    stime = time.perf_counter() - t_all
+
+    n = solver.n
+    x = df64.df_to_f64(xh_np, xl_np)
+    nouter = int(k_np)
+    inner_iters = tuple(int(v) for v in np.asarray(it_np)[:nouter])
+    hist_np = np.asarray(hist_np, np.float64)
+    return MixedSolveOutput(
+        x=x, x1=x[:n], x2=x[n:],
+        niters=int(sum(inner_iters)), nouter=nouter,
+        resid_history=hist_np[~np.isnan(hist_np)],
+        inner_niters=inner_iters,
+        solved=bool(solved_np), ptime=ptime, stime=stime,
+        inner_outputs=(),
+    )
+
+
+_MIXED_DEVICE_JIT = None
+
+
+def _mixed_device_jit():
+    """Build (once) the jitted device-resident core."""
+    global _MIXED_DEVICE_JIT
+    if _MIXED_DEVICE_JIT is None:
+        import jax
+
+        _MIXED_DEVICE_JIT = jax.jit(
+            _mixed_device_core_impl,
+            static_argnames=("method", "opts", "max_outer"))
+    return _MIXED_DEVICE_JIT
