@@ -187,17 +187,25 @@ def _fused_tri_kernel(inv_ref, w_ref, b_ref, x_ref, carry_ref, *,
     for j in range(1, p):
         c = c + inv[:, j, :] * jnp.broadcast_to(bt[j:j + 1, :], (p, K))
 
-    # Inclusive affine prefix over the tail states (Hillis-Steele doubling).
+    # Inclusive affine prefix over the tail states.  Two-level Hillis-
+    # Steele: doubling within 128-lane segments (log2(128) = 7 levels of
+    # (r, r, K) FMAs — the kernel's dominant compute), then a tiny stitch
+    # scan over the K/128 segment summaries, then one broadcast apply.
+    # vs plain doubling over the full chunk this removes log2(K/128)
+    # full-width levels (~36% of the doubling FLOPs at K = 2048).
     M = -w[p - r:, :, :]                           # (r, r, K)
     C = c[p - r:, :]                               # (r, K)
     eye = jnp.broadcast_to(jnp.eye(r, dtype=jnp.float32)[:, :, None],
                            (r, r, K))
     lane3 = jax.lax.broadcasted_iota(jnp.int32, (r, r, K), 2)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (r, K), 1)
+    seg = 128 if K % 128 == 0 and K > 128 else K
     d = 1
-    while d < K:
-        Mp = jnp.where(lane3 < d, eye, pltpu.roll(M, shift=d, axis=2))
-        Cp = jnp.where(lane2 < d, jnp.float32(0.0),
+    while d < seg:
+        # mask at SEGMENT starts: rolled-in values from the previous
+        # segment are replaced by the identity map
+        Mp = jnp.where(lane3 % seg < d, eye, pltpu.roll(M, shift=d, axis=2))
+        Cp = jnp.where(lane2 % seg < d, jnp.float32(0.0),
                        pltpu.roll(C, shift=d, axis=1))
         Mn = M[:, 0:1, :] * Mp[0:1, :, :]
         acc = M[:, 0, :] * jnp.broadcast_to(Cp[0:1, :], (r, K))
@@ -209,9 +217,58 @@ def _fused_tri_kernel(inv_ref, w_ref, b_ref, x_ref, carry_ref, *,
         d *= 2
 
     s_in = carry_ref[:, 0]                         # (r,) carry from prev chunk
-    s = C
-    for k in range(r):
-        s = s + M[:, k, :] * s_in[k]
+    if seg < K:
+        S = K // seg
+        M4 = M.reshape(r, r, S, seg)               # minor split K -> (S, seg)
+        C4 = C.reshape(r, S, seg)
+        # Segment summaries (last lane of each segment), kept 4D with a
+        # trailing singleton so every op below is a basic slice / roll —
+        # integer and None indexing lower to unsupported gathers in Mosaic.
+        sM = jax.lax.slice_in_dim(M4, seg - 1, seg, axis=3)  # (r, r, S, 1)
+        sC = jax.lax.slice_in_dim(C4, seg - 1, seg, axis=2)  # (r, S, 1)
+        # identity maps built from iota comparisons: a (r, r) -> (r, r, 1, 1)
+        # reshape is an unsupported Mosaic shape cast
+        eyeS = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (r, r, S, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (r, r, S, 1), 1),
+            jnp.float32(1.0), jnp.float32(0.0))
+        seg4 = jax.lax.broadcasted_iota(jnp.int32, (r, r, S, 1), 2)
+        seg3b = jax.lax.broadcasted_iota(jnp.int32, (r, S, 1), 1)
+        d = 1
+        while d < S:
+            sMp = jnp.where(seg4 < d, eyeS, pltpu.roll(sM, shift=d, axis=2))
+            sCp = jnp.where(seg3b < d, jnp.float32(0.0),
+                            pltpu.roll(sC, shift=d, axis=1))
+            sMn = sM[:, 0:1, :, :] * sMp[0:1, :, :, :]
+            sacc = sM[:, 0, :, :] * jnp.broadcast_to(sCp[0:1, :, :],
+                                                     (r, S, 1))
+            for k in range(1, r):
+                sMn = sMn + sM[:, k:k + 1, :, :] * sMp[k:k + 1, :, :, :]
+                sacc = sacc + sM[:, k, :, :] * jnp.broadcast_to(
+                    sCp[k:k + 1, :, :], (r, S, 1))
+            sM = sMn
+            sC = sacc + sC
+            d *= 2
+        # exclusive prefix: state BEFORE segment s, including chunk carry
+        exM = jnp.where(seg4 < 1, eyeS, pltpu.roll(sM, shift=1, axis=2))
+        exC = jnp.where(seg3b < 1, jnp.float32(0.0),
+                        pltpu.roll(sC, shift=1, axis=1))
+        sb = exC                                   # (r, S, 1)
+        for k in range(r):
+            sb = sb + exM[:, k, :, :] * s_in[k]
+        # broadcast-apply: s = C_loc + M_loc @ state_before_my_segment
+        s4 = C4
+        for k in range(r):
+            s4 = s4 + (jax.lax.slice_in_dim(M4, k, k + 1, axis=1)
+                       .reshape(r, S, seg)
+                       * jnp.broadcast_to(
+                           jax.lax.slice_in_dim(sb, k, k + 1, axis=0),
+                           (1, S, 1)))
+        s = s4.reshape(r, K)
+    else:
+        s = C
+        for k in range(r):
+            s = s + M[:, k, :] * s_in[k]
 
     # s_prev: shift right one lane, first lane = incoming carry.
     lane_r = jax.lax.broadcasted_iota(jnp.int32, (r, K), 1)
@@ -229,7 +286,7 @@ def _fused_tri_kernel(inv_ref, w_ref, b_ref, x_ref, carry_ref, *,
 
 
 def build_pallas_tri(T, panel: int = 16, dtype=np.float32,
-                     chunk: int = 2048) -> "PallasTriFactor | None":
+                     chunk: int = 1024) -> "PallasTriFactor | None":
     """Prepare a banded lower-triangular scipy matrix for the fused kernel.
 
     Reuses ``build_reduced_scan_tri``'s packing (exact same math) and

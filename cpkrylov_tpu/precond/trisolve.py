@@ -357,7 +357,11 @@ def pack_reduced_scan_np(T, panel: int = 128, r: int | None = None,
     if reach > panel:
         return None
     if r is None:
-        r = max(8, -(-max(reach, 1) // 8) * 8)
+        # Exact reach: state vectors/transition matrices live in the MAJOR
+        # dims of (r, r, K)-shaped ops, so there is no tile-alignment reason
+        # to round up — and the scan's per-level work is r x (padded-tile
+        # ops), so every extra state row costs a full vector op.
+        r = max(1, reach)
     r = min(r, panel)
 
     nblocks = max(1, -(-n // panel))
