@@ -61,10 +61,21 @@ class MatrixOperator:
         if isinstance(self.mat, DIASpill):
             return (spmv.dia_rmatvec(self.mat.dia, y)
                     + spmv.csr_rmatvec(self.mat.spill, y))
-        if isinstance(self.mat, SymPermuted) and isinstance(self.mat.inner,
-                                                            DIA):
-            # (P M P')' = P M' P' — reuse the permutation wrapper.
-            yp = spmv.dia_rmatvec(self.mat.inner, jnp.take(y, self.mat.perm))
+        if isinstance(self.mat, SymPermuted):
+            # (P M P')' = P M' P' — reuse the permutation wrapper; dispatch
+            # on the inner format generically (pack_sym_dia can also return
+            # SymPermuted(inner=DIASpill) after an RCM spill fallback).
+            inner = self.mat.inner
+            yp = jnp.take(y, self.mat.perm)
+            if isinstance(inner, DIA):
+                yp = spmv.dia_rmatvec(inner, yp)
+            elif isinstance(inner, DIASpill):
+                yp = (spmv.dia_rmatvec(inner.dia, yp)
+                      + spmv.csr_rmatvec(inner.spill, yp))
+            else:
+                raise TypeError(
+                    f"rmatvec unsupported for SymPermuted inner "
+                    f"{type(inner).__name__}")
             return jnp.take(yp, self.mat.iperm)
         if isinstance(self.mat, jax.Array) or hasattr(self.mat, "ndim"):
             return jnp.asarray(self.mat).T @ y
@@ -171,22 +182,33 @@ def aslinearoperator(obj, shape=None, dtype=None) -> object:
         import scipy.sparse as sp
 
         if sp.issparse(obj):
-            coo = obj.tocoo()
-            if (obj.shape[0] == obj.shape[1]
-                    and (coo.nnz == 0 or bool((coo.row == coo.col).all()))):
+            # Cheap pre-reject before any COO materialization: a square
+            # matrix with more stored entries than rows cannot be diagonal,
+            # and the conversion below is O(nnz) host work (~84 MB for the
+            # 7M-nnz bench A) that non-diagonal operands shouldn't pay.
+            maybe_diag = (obj.shape[0] == obj.shape[1]
+                          and obj.nnz <= obj.shape[0])
+
+            def build_diag_or_none():
+                coo = obj.tocoo()
+                if coo.nnz and not bool((coo.row == coo.col).all()):
+                    return None
+                d = np.zeros(obj.shape[0], dtype=np.dtype(dtype or obj.dtype))
+                # duplicate (i, i) entries must SUM (CSR semantics), not
+                # last-write-wins
+                np.add.at(d, coo.row, coo.data)
+                return MatrixOperator(Diagonal(diag=jnp.asarray(d)))
+
+            if maybe_diag:
                 # Strictly diagonal operand (e.g. C = delta*I): a single
                 # elementwise multiply per matvec, numerically identical to
                 # the CSR row sums but gather-free (~7 ns/element saved per
                 # row per iteration on TPU).
-                def build_diag():
-                    d = np.zeros(obj.shape[0],
-                                 dtype=np.dtype(dtype or obj.dtype))
-                    d[coo.row] = coo.data
-                    return MatrixOperator(Diagonal(diag=jnp.asarray(d)))
-
-                return cache_device_form(
+                diag_op = cache_device_form(
                     obj, ("diag_op", np.dtype(dtype or obj.dtype).str),
-                    build_diag)
+                    build_diag_or_none)
+                if diag_op is not None:
+                    return diag_op
             return cache_device_form(
                 obj, ("csr_op", np.dtype(dtype or obj.dtype).str),
                 lambda: MatrixOperator(csr_from_scipy(obj, dtype=dtype)))

@@ -114,6 +114,19 @@ def run_dryrun(n_devices: int) -> None:
     assert rel_err < drift_tol, \
         f"dist_cpminres solution drift: rel_err={rel_err}"
 
+    # --- distributed mixed precision: f32 sharded inner + f64 outer ------
+    # (BASELINE.json configs[4] semantics; exercises dist_solve in f32 on
+    # the mesh and the host true-residual refinement around it.)
+    from .mixed import dist_solve_mixed
+
+    mopts_mixed = SolverOptions(atol=0.0, rtol=1e-6, itmax=400)
+    mixed_out = dist_solve_mixed(mesh, "cpminres", sys_.b, sys_.A, sys_.B,
+                                 sys_.C, sys_.G, opts=mopts_mixed)
+    assert mixed_out.solved, (
+        f"dist mixed solve did not reach rtol=1e-6 "
+        f"(nouter={mixed_out.nouter}, hist={mixed_out.resid_history})")
+    assert mixed_out.resid_history[-1] <= 1e-6 * mixed_out.resid_history[0]
+
     # --- generic family path (shifted RHS): CPMINRES + CPGMRES -----------
     for method, extra in (("cpminres", {}), ("cpgmres", {"restart": 50})):
         mopts = SolverOptions(atol=0.0, rtol=rtol, itmax=500, **extra)

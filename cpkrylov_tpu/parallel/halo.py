@@ -126,3 +126,30 @@ def halo_extend(x_loc: jax.Array, halo: int, axis_name: str = AXIS):
 def halo_matvec(blk_data: jax.Array, blk_cols: jax.Array, x_ext: jax.Array):
     """Local ELL matvec against the extended operand (inside shard_map)."""
     return (blk_data * jnp.take(x_ext, blk_cols, mode="clip")).sum(-1)
+
+
+def halo_fold(x_ext: jax.Array, halo: int, axis_name: str = AXIS):
+    """Adjoint of ``halo_extend``: fold an extended vector's edge regions
+    back onto the neighbours that own them (two ppermutes + two adds).
+
+    Used by scatter-style operations whose local writes may land in the
+    halo margins (e.g. the Schur factor's sharded y-scatter): device d's
+    left margin belongs to device d-1's tail, its right margin to device
+    d+1's head.  Edge devices contribute nothing across the boundary.
+    """
+    if halo == 0:
+        return x_ext
+    nd = jax.lax.axis_size(axis_name)
+    d = jax.lax.axis_index(axis_name)
+    left_edge = x_ext[:halo]
+    right_edge = x_ext[-halo:]
+    center = x_ext[halo:-halo]
+    # my tail += right neighbour's LEFT margin
+    from_right = jax.lax.ppermute(
+        left_edge, axis_name, perm=[(i, (i - 1) % nd) for i in range(nd)])
+    # my head += left neighbour's RIGHT margin
+    from_left = jax.lax.ppermute(
+        right_edge, axis_name, perm=[(i, (i + 1) % nd) for i in range(nd)])
+    from_right = jnp.where(d == nd - 1, 0.0, from_right)
+    from_left = jnp.where(d == 0, 0.0, from_left)
+    return center.at[:halo].add(from_left).at[-halo:].add(from_right)

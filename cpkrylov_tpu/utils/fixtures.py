@@ -132,7 +132,8 @@ def random_sqd_system(n: int, m: int, *, density: float = 0.05,
 def banded_saddle_system(n: int, m: int, *, bandwidth: int = 3,
                          delta: float = 1e-4, seed: int = 0,
                          with_oracle: bool = True,
-                         g_mode: str = "diag") -> SaddleSystem:
+                         g_mode: str = "diag",
+                         b_mode: str = "unit") -> SaddleSystem:
     """Large banded regularized saddle-point system (weak-scaling workload).
 
     Built entirely from ``sp.diags`` so construction stays O(n * bandwidth)
@@ -153,8 +154,27 @@ def banded_saddle_system(n: int, m: int, *, bandwidth: int = 3,
         a_diags += [band, band]
         a_offsets += [off, -off]
     A = sp.diags(a_diags, a_offsets, shape=(n, n), format="csr")
-    b_band = 0.25 * rng.standard_normal(min(m, n - 1))
-    B = sp.diags([np.ones(m), b_band], [0, 1], shape=(m, n), format="csr")
+    if b_mode == "unit":
+        b_band = 0.25 * rng.standard_normal(min(m, n - 1))
+        B = sp.diags([np.ones(m), b_band], [0, 1], shape=(m, n),
+                     format="csr")
+    elif b_mode == "slope":
+        # Slope-matched constraints: y_g couples x_{c g}, x_{c g + 1} with
+        # c = n // m — the structure of PDE-style incidence/selection
+        # operators, and the case where the proportional riffle ordering
+        # keeps K_P banded AND chunk-aligned with equal row shards (the
+        # distributed Schur's sharded-exchange regime).
+        c = max(1, n // m)
+        rows = np.repeat(np.arange(m), 2)
+        cols = np.stack([c * np.arange(m),
+                         np.minimum(c * np.arange(m) + 1, n - 1)],
+                        axis=1).reshape(-1)
+        vals = np.stack([np.ones(m), 0.25 * rng.standard_normal(m)],
+                        axis=1).reshape(-1)
+        B = sp.csr_matrix((vals, (rows, cols)), shape=(m, n))
+        B.sum_duplicates()
+    else:
+        raise ValueError(f"unknown b_mode {b_mode!r}")
     C = sp.diags(np.full(m, delta)).tocsr()
     if g_mode == "diag":          # Jacobi block, as the reference examples
         G = sp.diags(A.diagonal()).tocsr()

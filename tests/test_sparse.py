@@ -253,3 +253,20 @@ def test_dia_rectangular_matches_scipy(rng):
         np.testing.assert_allclose(np.asarray(dia_matmat(d, jnp.asarray(X))),
                                    M @ X, rtol=1e-12, atol=1e-12,
                                    err_msg=f"{nr}x{nc} matmat")
+
+
+def test_diagonal_operator_sums_duplicate_entries():
+    """A COO with repeated (i, i) coordinates is a valid scipy matrix whose
+    duplicates SUM; the Diagonal fast path must match CSR semantics
+    (ADVICE r3: last-write-wins silently corrupted such inputs)."""
+    import scipy.sparse as sp
+
+    from cpkrylov_tpu.operators.linop import aslinearoperator
+
+    rows = np.array([0, 1, 1, 2])
+    data = np.array([1.0, 2.0, 3.0, 4.0])
+    A = sp.coo_matrix((data, (rows, rows)), shape=(3, 3))
+    op = aslinearoperator(A, dtype=np.float64)
+    x = np.array([1.0, 1.0, 1.0])
+    got = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(got, A.tocsr() @ x)
