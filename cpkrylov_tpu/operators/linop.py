@@ -58,6 +58,8 @@ class MatrixOperator:
             return spmv.diag_matvec(self.mat, y)
         if isinstance(self.mat, DIA):
             return spmv.dia_rmatvec(self.mat, y)
+        if hasattr(self.mat, "nrows_pad"):   # PallasDIA
+            return spmv.dia_rmatvec(self.mat.to_dia(), y)
         if isinstance(self.mat, DIASpill):
             return (spmv.dia_rmatvec(self.mat.dia, y)
                     + spmv.csr_rmatvec(self.mat.spill, y))
@@ -171,7 +173,7 @@ def aslinearoperator(obj, shape=None, dtype=None) -> object:
     if isinstance(obj, LinearOperator):
         return obj
     if isinstance(obj, (CSR, ELL, Diagonal, DIA, DIASpill, PGELL,
-                        SymPermuted)):
+                        SymPermuted)) or hasattr(obj, "nrows_pad"):
         return MatrixOperator(obj)
     if callable(obj) and not hasattr(obj, "shape"):
         if shape is None:

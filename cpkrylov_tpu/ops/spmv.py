@@ -87,6 +87,12 @@ def matvec(mat, x: jax.Array) -> jax.Array:
         return sym_permuted_matvec(mat, x)
     if isinstance(mat, PGELL):
         return pgell_dispatch(mat, x)
+    if hasattr(mat, "nrows_pad"):        # PallasDIA (local import: no cycle)
+        from .pallas_dia import pallas_dia_matvec
+
+        if jax.default_backend() == "tpu":
+            return pallas_dia_matvec(mat, x)
+        return dia_matvec(mat.to_dia(), x)
     if isinstance(mat, jax.Array) or hasattr(mat, "ndim"):
         return jnp.asarray(mat) @ x
     raise TypeError(f"unsupported matrix type {type(mat)}")
@@ -142,6 +148,8 @@ def matmat(mat, X: jax.Array) -> jax.Array:
     if isinstance(mat, SymPermuted):
         return jnp.take(matmat(mat.inner, jnp.take(X, mat.perm, axis=0)),
                         mat.iperm, axis=0)
+    if hasattr(mat, "nrows_pad"):        # PallasDIA
+        return dia_matmat(mat.to_dia(), X)
     if isinstance(mat, jax.Array) or hasattr(mat, "ndim"):
         return jnp.asarray(mat) @ X
     raise TypeError(f"unsupported matrix type {type(mat)}")

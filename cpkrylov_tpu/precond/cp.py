@@ -407,6 +407,21 @@ def pack_device_format(mat, spmv_format: str, tile_rows: int, dtype):
             max_bytes_ratio=0.0 if spmv_format == "dia" else 1.5)
     if packed is None and spmv_format in ("auto", "pgell"):
         packed = pack_sym_pgell(mat, tile_rows=tile_rows, dtype=dtype)
+    # TPU: pre-pad plain-DIA operands for the one-pass Pallas matvec kernel
+    # (~4x the XLA shifted-slice chain, ops/pallas_dia.py).
+    import jax as _jax2
+
+    if packed is not None and _jax2.default_backend() == "tpu":
+        from ..ops.dia import DIA as _DIA
+        from ..ops.pallas_dia import pack_pallas_dia
+        from ..ops.pgell import SymPermuted as _SymP
+
+        if isinstance(packed, _DIA):
+            packed = pack_pallas_dia(packed) or packed
+        elif isinstance(packed, _SymP) and isinstance(packed.inner, _DIA):
+            wrapped = pack_pallas_dia(packed.inner)
+            if wrapped is not None:
+                packed = dataclasses.replace(packed, inner=wrapped)
     return packed
 
 
