@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--itmax", type=int, default=1000)
     ap.add_argument("--f32", action="store_true",
                     help="run in f32 (perf mode; f64 is the parity mode)")
+    ap.add_argument("--families", default=None,
+                    help="comma-separated family subset (e.g. "
+                         "cvxqp1,cvxqp2,cvxqp3); default: all five")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the environment may boot "
                          "a TPU plugin before argv is seen)")
@@ -61,7 +64,10 @@ def main() -> None:
     else:
         ap.error(f"--size must be s, m, l or a positive integer, "
                  f"got {args.size!r}")
-    suite = mm_suite(size, mu=args.mu)
+    fam_kw = {}
+    if args.families:
+        fam_kw["families"] = tuple(args.families.split(","))
+    suite = mm_suite(size, mu=args.mu, **fam_kw)
     kernels = ["cpcg", "cpcglanczos", "cpminres", "cpsymmlq",
                "cpgmres", "cpdqgmres"]
     opts = SolverOptions(atol=args.tol, rtol=args.tol, itmax=args.itmax,
@@ -75,6 +81,21 @@ def main() -> None:
     print("-" * len(hdr))
 
     from cpkrylov_tpu.precond.cp import make_preconditioner
+
+    def _artifact_path():
+        suffix = (f"_{size.upper()}" if isinstance(size, str)
+                  and size != "s" else ("" if size == "s" else f"_{size}"))
+        if args.f32:
+            suffix += "_F32"
+        return pathlib.Path(__file__).parent / f"MM_SWEEP{suffix}.json"
+
+    def _write_artifact():
+        _artifact_path().write_text(json.dumps({
+            "device": str(dev.device_kind), "size": size, "mu": args.mu,
+            "tol": args.tol, "dtype": "f32" if args.f32 else "f64",
+            "families": args.families or "all",
+            "rows": rows,
+        }, indent=1))
 
     rows = []
     for s in suite:
@@ -109,18 +130,10 @@ def main() -> None:
                   f"{row['iters']:>6} {err:>9.2e} {dt:>8.3f} "
                   f"{str(row['solved']):>6}")
             print(json.dumps(row))
+        _write_artifact()          # partial artifact survives a timeout
 
-    suffix = f"_{size.upper()}" if isinstance(size, str) and size != "s" \
-        else ("" if size == "s" else f"_{size}")
-    if args.f32:
-        suffix += "_F32"
-    artifact = pathlib.Path(__file__).parent / f"MM_SWEEP{suffix}.json"
-    artifact.write_text(json.dumps({
-        "device": str(dev.device_kind), "size": size, "mu": args.mu,
-        "tol": args.tol, "dtype": "f32" if args.f32 else "f64",
-        "rows": rows,
-    }, indent=1))
-    print(json.dumps({"wrote": str(artifact)}))
+    _write_artifact()
+    print(json.dumps({"wrote": str(_artifact_path())}))
 
 
 if __name__ == "__main__":

@@ -75,7 +75,7 @@ def test_device_resident_mixed_matches_host():
     from cpkrylov_tpu import SolverOptions, solve_mixed
     from cpkrylov_tpu.utils.fixtures import banded_saddle_system
 
-    sysm = banded_saddle_system(4096, 1024, bandwidth=3, with_oracle=False)
+    sysm = banded_saddle_system(2048, 512, bandwidth=3, with_oracle=False)
     opts = SolverOptions(atol=0.0, rtol=1e-10, itmax=300)
 
     host = solve_mixed("cpminres", sysm.b, sysm.A, sysm.B, sysm.C, sysm.G,

@@ -5,6 +5,10 @@ on Maros-Meszaros QP KKT systems, C=delta*I regularization".
 """
 import numpy as np
 import pytest
+
+# Generator/property sweeps over the whole MM family: multi-minute on the
+# CPU backend; the committed MM_SWEEP artifacts cover the same surface.
+pytestmark = pytest.mark.slow
 import scipy.sparse.linalg as spla
 
 from cpkrylov_tpu import SolverOptions, solve

@@ -15,6 +15,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow  # spawns 2 OS-level jax.distributed processes
+
 _WORKER = textwrap.dedent("""
     import sys
     pid, nproc, port, repo = (int(sys.argv[1]), int(sys.argv[2]),

@@ -11,7 +11,8 @@ from cpkrylov_tpu.precond.cp import make_preconditioner
 from cpkrylov_tpu.utils.fixtures import random_sqd_system
 
 
-@pytest.mark.parametrize("ndev", [1, 2, 8])
+@pytest.mark.parametrize("ndev", [1, 2,
+                                  pytest.param(8, marks=pytest.mark.slow)])
 def test_dist_cpminres_matches_serial(ndev):
     devices = jax.devices()[:ndev]
     sys_ = random_sqd_system(96, 40, seed=17, delta=1e-2)
@@ -76,7 +77,8 @@ def test_dryrun_entrypoint_driver_conditions():
     assert "OK" in proc.stdout
 
 
-@pytest.mark.parametrize("ndev", [2, 8])
+@pytest.mark.parametrize("ndev", [2,
+                                  pytest.param(8, marks=pytest.mark.slow)])
 def test_halo_spmv_matches_allgather(ndev):
     from cpkrylov_tpu.parallel import dist_cpminres, plan_halo_block
     from cpkrylov_tpu.precond.cp import make_preconditioner
@@ -120,6 +122,7 @@ ALL_KERNELS = ["cpminres", "cpcg", "cpcglanczos", "cpsymmlq", "cpgmres",
                "cpdqgmres"]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("method", ALL_KERNELS)
 def test_dist_solve_family_matches_serial(method):
     """Generic shard_map adapter: every kernel, sharded matrices, 8 devices.
@@ -164,7 +167,8 @@ def test_dist_solve_nonsymmetric_gmres():
     assert err < 1e-6, err
 
 
-@pytest.mark.parametrize("ndev", [2, 4, 8])
+@pytest.mark.parametrize("ndev", [2, pytest.param(4, marks=pytest.mark.slow),
+                                  pytest.param(8, marks=pytest.mark.slow)])
 @pytest.mark.parametrize("g_mode", ["diag", "banded"])
 def test_schur_solve_is_exact(ndev, g_mode):
     """Distributed Schur K_P solve == scipy direct solve, machine precision."""
@@ -223,6 +227,7 @@ def test_schur_dist_solve_iteration_parity():
         assert err < 1e-4, (method, err)
 
 
+@pytest.mark.slow
 def test_schur_dist_cpminres_matches_replicated():
     """Fully-sharded CP-MINRES: Schur factor vs replicated factor."""
     from cpkrylov_tpu.parallel.schur import plan_schur_precond
@@ -294,7 +299,8 @@ def test_dist_solve_halo_path(method):
                                rtol=1e-7, atol=1e-9)
 
 
-@pytest.mark.parametrize("ndev", [2, 8])
+@pytest.mark.parametrize("ndev", [2,
+                                  pytest.param(8, marks=pytest.mark.slow)])
 def test_dist_solve_mixed_reaches_f64_tolerance(ndev):
     """Distributed mixed precision (VERDICT r3 item 7): f32 sharded inner
     solves + f64 outer true-residual refinement reach rtol=1e-6 (and
@@ -304,7 +310,7 @@ def test_dist_solve_mixed_reaches_f64_tolerance(ndev):
     from cpkrylov_tpu.parallel import dist_solve_mixed
     from cpkrylov_tpu.utils.fixtures import banded_saddle_system
 
-    sysm = banded_saddle_system(4096, 1024, bandwidth=3, with_oracle=False)
+    sysm = banded_saddle_system(2048, 512, bandwidth=3, with_oracle=False)
     mesh = Mesh(np.array(jax.devices()[:ndev]), ("rows",))
     opts = SolverOptions(atol=0.0, rtol=1e-10, itmax=300)
 
