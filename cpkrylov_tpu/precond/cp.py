@@ -330,7 +330,23 @@ def build_factor_apply(fac, N: int, panel: int, dtype,
     across devices requires a uniform pytree structure)."""
     import scipy.sparse as sp
 
-    from .permute import GatherPermute, plan_permute
+    from .permute import (ComposedPermute, GatherPermute, InterleavePermute,
+                          matmul_interleave, plan_permute)
+
+    def _mxu_upgrade(op):
+        """On TPU+f32, swap riffle permutes for the MXU-matmul form (same
+        math, ~8x fewer HBM bytes; permute.MatmulInterleavePermute)."""
+        import jax as _jax
+
+        if not (_jax.default_backend() == "tpu"
+                and np.dtype(dtype) == np.float32):
+            return op
+        if isinstance(op, InterleavePermute):
+            return matmul_interleave(op)
+        if (isinstance(op, ComposedPermute)
+                and isinstance(op.first, InterleavePermute)):
+            return dataclasses.replace(op, first=matmul_interleave(op.first))
+        return op
 
     def plan(perm):
         perm = np.asarray(perm)
@@ -338,7 +354,7 @@ def build_factor_apply(fac, N: int, panel: int, dtype,
             return GatherPermute(
                 idx=jnp.asarray(perm.astype(np.int32)),
                 inv_idx=jnp.asarray(np.argsort(perm).astype(np.int32)))
-        return plan_permute(perm, base=base_order)
+        return _mxu_upgrade(plan_permute(perm, base=base_order))
 
     msb = (2 << 30) if scan_ok else 0
     if isinstance(fac, ldl_host.HostLDL):
