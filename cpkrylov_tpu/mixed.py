@@ -120,9 +120,12 @@ def solve_mixed(method, b, A, B, C, G, *,
     opts = opts or SolverOptions()
     t_all = time.perf_counter()
 
-    A_h = _as_host_matrix(A, "A")
-    B_h = _as_host_matrix(B, "B")
-    C_h = _as_host_matrix(C, "C")
+    # Cached per host object: the CSR+f64 conversion of a 7M-nnz A costs
+    # ~0.2 s and repeats on every solve call otherwise.
+    from .operators.linop import cache_device_form as _cdf
+    A_h = _cdf(A, ("host_f64",), lambda: _as_host_matrix(A, "A"))
+    B_h = _cdf(B, ("host_f64",), lambda: _as_host_matrix(B, "B"))
+    C_h = _cdf(C, ("host_f64",), lambda: _as_host_matrix(C, "C"))
     n, m = A_h.shape[0], C_h.shape[0]
     b = np.asarray(b, dtype=np.float64).reshape(-1)
     if b.shape[0] != n + m:
@@ -308,9 +311,12 @@ def prepare_mixed_device(method, b, A, B, C, M32, opts, *,
     from .ops import df64
     from .utils.timing import sync
 
-    A_h = _as_host_matrix(A, "A")
-    B_h = _as_host_matrix(B, "B")
-    C_h = _as_host_matrix(C, "C")
+    # Cached per host object: the CSR+f64 conversion of a 7M-nnz A costs
+    # ~0.2 s and repeats on every solve call otherwise.
+    from .operators.linop import cache_device_form as _cdf
+    A_h = _cdf(A, ("host_f64",), lambda: _as_host_matrix(A, "A"))
+    B_h = _cdf(B, ("host_f64",), lambda: _as_host_matrix(B, "B"))
+    C_h = _cdf(C, ("host_f64",), lambda: _as_host_matrix(C, "C"))
     # Cached per host-A: the df64 pack uploads ~2x the K bytes — repeating
     # it per solve would put a multi-second host->device transfer on every
     # call (measured 4.8 s at n=1M over the tunneled backend).

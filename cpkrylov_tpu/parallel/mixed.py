@@ -63,9 +63,10 @@ def dist_solve_mixed(mesh, method, b, A, B, C, G, *,
     opts = opts or SolverOptions()
     t_all = time.perf_counter()
 
-    A_h = _as_host_matrix(A, "A")
-    B_h = _as_host_matrix(B, "B")
-    C_h = _as_host_matrix(C, "C")
+    from ..operators.linop import cache_device_form as _cdf
+    A_h = _cdf(A, ("host_f64",), lambda: _as_host_matrix(A, "A"))
+    B_h = _cdf(B, ("host_f64",), lambda: _as_host_matrix(B, "B"))
+    C_h = _cdf(C, ("host_f64",), lambda: _as_host_matrix(C, "C"))
     n, m = A_h.shape[0], C_h.shape[0]
     b = np.asarray(b, dtype=np.float64).reshape(-1)
     if b.shape[0] != n + m:
