@@ -87,6 +87,8 @@ def main() -> None:
                   and size != "s" else ("" if size == "s" else f"_{size}"))
         if args.f32:
             suffix += "_F32"
+        if args.mu != 1e-4:
+            suffix += f"_MU{args.mu:g}".replace("0.01", "2")
         return pathlib.Path(__file__).parent / f"MM_SWEEP{suffix}.json"
 
     def _write_artifact():
