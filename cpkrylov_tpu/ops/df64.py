@@ -167,7 +167,13 @@ def df_dia_matvec(mat: DFDia, x: DF) -> DF:
     """y = mat @ x in df64: error-free products of the hi terms plus the
     first-order cross terms (hi*lo + lo*hi); the lo*lo term (~2^-96) is
     dropped.  Accumulation via two_sum chains keeps the result a valid
-    (hi, lo) pair."""
+    (hi, lo) pair.  On TPU the whole chain runs as one Pallas pass
+    (ops/pallas_dia.pallas_df_dia_matvec)."""
+    if jax.default_backend() == "tpu":
+        from .pallas_dia import pallas_df_dia_matvec
+
+        if len({o // 8192 for o in mat.offsets}) <= 4:
+            return pallas_df_dia_matvec(mat, x[0], x[1])
     nrows, ncols = mat.shape
     neg, pos = _pads(mat.offsets, nrows, ncols)
     xh = jnp.pad(x[0], (neg, pos))

@@ -143,3 +143,103 @@ def pallas_dia_matvec(mat: PallasDIA, x: jax.Array,
         interpret=interpret,
     )(*operands)
     return y[:nrows]
+
+
+# ---------------------------------------------------------------------------
+# df64 (double-f32) DIA matvec — the mixed-refinement outer residual's pass
+# ---------------------------------------------------------------------------
+
+def _df_dia_kernel(dh_ref, dl_ref, *refs, offsets, groups, K):
+    """df64 shifted-FMA chain with error-free transforms (ops/df64.py
+    semantics) on VMEM-resident windows."""
+    yh_ref, yl_ref = refs[-2], refs[-1]
+    wins_h = {}
+    wins_l = {}
+    for gi, g in enumerate(groups):
+        wins_h[g] = jnp.concatenate([refs[4 * gi][:], refs[4 * gi + 1][:]])
+        wins_l[g] = jnp.concatenate([refs[4 * gi + 2][:],
+                                     refs[4 * gi + 3][:]])
+    split = jnp.float32(4097.0)
+
+    def two_prod(a, b):
+        p = a * b
+        ca = a * split
+        ah = ca - (ca - a)
+        al = a - ah
+        cb = b * split
+        bh = cb - (cb - b)
+        bl = b - bh
+        e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+        return p, e
+
+    acc_h = jnp.zeros((K,), jnp.float32)
+    acc_l = jnp.zeros((K,), jnp.float32)
+    for k, off in enumerate(offsets):
+        g = off // K
+        local = off - g * K
+        vh = wins_h[g][local: local + K]
+        vl = wins_l[g][local: local + K]
+        dh = dh_ref[k, :]
+        dl = dl_ref[k, :]
+        p, e = two_prod(dh, vh)
+        e = e + dh * vl + dl * vh
+        s = acc_h + p
+        bb = s - acc_h
+        e2 = (acc_h - (s - bb)) + (p - bb)
+        acc_h = s
+        acc_l = acc_l + e + e2
+    s = acc_h + acc_l
+    yl_ref[:] = acc_l - (s - acc_h)
+    yh_ref[:] = s
+
+
+def pallas_df_dia_matvec(dfd, xh: jax.Array, xl: jax.Array,
+                         chunk: int = 8192, interpret: bool = False):
+    """One-pass df64 DIA matvec; ``dfd`` is an ops.df64.DFDia (hi/lo
+    diagonal stacks).  Falls back to the XLA form off-TPU (caller's job)."""
+    nrows, ncols = dfd.shape
+    K = chunk
+    groups = tuple(sorted({o // K for o in dfd.offsets}))
+    npad = -(-nrows // K) * K
+    dh = jnp.pad(dfd.hi, ((0, 0), (0, npad - nrows)))
+    dl = jnp.pad(dfd.lo, ((0, 0), (0, npad - nrows)))
+    # Operand buffer sized by the COLUMN count (rectangular blocks: the
+    # grid runs over output rows, windows index into x of length ncols).
+    xpad_len = max(npad, -(-ncols // K) * K) + 2 * K
+    nblk = xpad_len // K
+    xh_f = jnp.zeros(xpad_len, jnp.float32).at[K: K + ncols].set(xh)
+    xl_f = jnp.zeros(xpad_len, jnp.float32).at[K: K + ncols].set(xl)
+
+    in_specs = [
+        pl.BlockSpec((len(dfd.offsets), K), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((len(dfd.offsets), K), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [dh, dl]
+    for g in groups:
+        for extra, arr in ((1, xh_f), (2, xh_f), (1, xl_f), (2, xl_f)):
+            delta = g + extra
+            in_specs.append(pl.BlockSpec(
+                (K,),
+                (lambda i, d=delta: (jnp.clip(i + d, 0, nblk - 1),)),
+                memory_space=pltpu.VMEM))
+            operands.append(arr)
+
+    kernel = functools.partial(_df_dia_kernel, offsets=dfd.offsets,
+                               groups=groups, K=K)
+    yh, yl = pl.pallas_call(
+        kernel,
+        grid=(npad // K,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((K,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad,), jnp.float32),
+            jax.ShapeDtypeStruct((npad,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return yh[:nrows], yl[:nrows]
