@@ -126,6 +126,15 @@ def main() -> None:
                lambda v, mt: spmv.matvec(mt, v), x_n, a_dia,
                args.reps, ops, a_dia.device_bytes + vec3)
         rec["dia_ndiag"] = getattr(a_dia, "inner", a_dia).ndiag
+        if on_tpu and not hasattr(a_dia, "inner"):
+            from cpkrylov_tpu.ops.pallas_dia import pack_pallas_dia
+
+            a_pd = pack_pallas_dia(a_dia)
+            if a_pd is not None:
+                sync(a_pd)
+                timeit("A_spmv[PallasDIA]",
+                       lambda v, mt: spmv.matvec(mt, v), x_n, a_pd,
+                       args.reps, ops, a_pd.device_bytes + vec3)
     a_csr = csr_from_scipy(sysm.A.tocsr(), dtype=dtype)
     sync(a_csr)
     timeit("A_spmv[CSR-XLA]", lambda v, mt: spmv.matvec(mt, v), x_n, a_csr,

@@ -38,15 +38,22 @@ def time_device(label, step, x0, op, record, reps=20):
     from cpkrylov_tpu.utils.timing import sync
 
     @jax.jit
-    def loop(x, o):
-        return jax.lax.fori_loop(0, reps, lambda i, v: step(v, o), x)
+    def loop(x, o, k):
+        return jax.lax.fori_loop(0, k, lambda i, v: step(v, o), x)
 
-    out = loop(x0, op)
-    sync(out)                        # compile + first run
-    t0 = time.perf_counter()
-    out = loop(x0, op)
-    sync(out)
-    dt = (time.perf_counter() - t0) / reps
+    # Two-point slope: cancels the ~40 ms tunnel dispatch+fetch cost that
+    # polluted the round-3 numbers (single synced call divided by reps).
+    k1, k2 = max(2, reps // 5), reps * 2
+    sync(loop(x0, op, k1))           # compile + first run
+    walls = {}
+    for k in (k1, k2):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(loop(x0, op, k))
+            best = min(best, time.perf_counter() - t0)
+        walls[k] = best
+    dt = max((walls[k2] - walls[k1]) / (k2 - k1), 1e-9)
     record[label] = round(dt * 1e3, 4)
     print(f"  [dev ] {label:<34s} {dt*1e3:10.3f} ms/call", flush=True)
     return dt
@@ -129,6 +136,10 @@ def main() -> None:
     A_op = aslinearoperator(a_dev, dtype=dtype)
     C_op = aslinearoperator(c_dev, dtype=dtype)
     B_op = aslinearoperator(sysm.B, dtype=dtype)
+    # Loose-stop forced-iteration leg (rtol=1e-4 recurrence estimate):
+    # f32 exits on the indefiniteness guard near its floor — recorded with
+    # istatus for context; the CONVERGING production path is bench.py's
+    # device-resident mixed solve at rtol=1e-6.
     opts = SolverOptions(atol=0.0, rtol=1e-4, itmax=50, stagwin=25)
 
     res, x1, x2 = _solve_core("cpminres", b_dev, A_op, C_op, B_op, M, opts,
