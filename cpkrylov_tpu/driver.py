@@ -67,8 +67,11 @@ def _maybe_pack_pgell(A, spmv_format: str, tile_rows: int, dtype):
         return None
     if A.shape[0] != A.shape[1]:
         return None
+    from .operators.linop import host_fingerprint
+
     return cache_device_form(
-        A, ("packed", spmv_format, tile_rows, np.dtype(dtype).str),
+        A, ("packed", spmv_format, tile_rows, np.dtype(dtype).str,
+            host_fingerprint(A)),
         lambda: pack_device_format(A, spmv_format, tile_rows, dtype))
 
 
@@ -83,8 +86,10 @@ def _maybe_pack_rect(B, spmv_format: str, dtype):
 
     if not (sp.issparse(B) and _select_spmv_format(spmv_format, dtype)):
         return None
+    from .operators.linop import host_fingerprint
+
     return cache_device_form(
-        B, ("dia_rect", np.dtype(dtype).str),
+        B, ("dia_rect", np.dtype(dtype).str, host_fingerprint(B)),
         lambda: pack_dia(B.tocsr(), dtype=dtype))
 
 

@@ -120,12 +120,14 @@ def solve_mixed(method, b, A, B, C, G, *,
     opts = opts or SolverOptions()
     t_all = time.perf_counter()
 
-    # Cached per host object: the CSR+f64 conversion of a 7M-nnz A costs
-    # ~0.2 s and repeats on every solve call otherwise.
+    # Cached per host object + content fingerprint (the CSR+f64 conversion
+    # of a 7M-nnz A costs ~0.2 s per call otherwise; the fingerprint keeps
+    # the f64 true-residual honest for in-place-updated operands).
     from .operators.linop import cache_device_form as _cdf
-    A_h = _cdf(A, ("host_f64",), lambda: _as_host_matrix(A, "A"))
-    B_h = _cdf(B, ("host_f64",), lambda: _as_host_matrix(B, "B"))
-    C_h = _cdf(C, ("host_f64",), lambda: _as_host_matrix(C, "C"))
+    from .operators.linop import host_fingerprint as _fp
+    A_h = _cdf(A, ("host_f64", _fp(A)), lambda: _as_host_matrix(A, "A"))
+    B_h = _cdf(B, ("host_f64", _fp(B)), lambda: _as_host_matrix(B, "B"))
+    C_h = _cdf(C, ("host_f64", _fp(C)), lambda: _as_host_matrix(C, "C"))
     n, m = A_h.shape[0], C_h.shape[0]
     b = np.asarray(b, dtype=np.float64).reshape(-1)
     if b.shape[0] != n + m:
@@ -157,7 +159,7 @@ def solve_mixed(method, b, A, B, C, G, *,
 
     if device_resident in ("auto", True):
         devout = _try_solve_mixed_device(
-            method, b, A_h, B_h, C_h, A, B, C, M32, opts,
+            method, b, A, B, C, M32, opts,
             inner_rtol=inner_rtol, inner_stagwin=inner_stagwin,
             max_outer=max_outer, spmv_format=spmv_format,
             tile_rows=tile_rows, ptime=ptime, t_all=t_all,
@@ -311,20 +313,25 @@ def prepare_mixed_device(method, b, A, B, C, M32, opts, *,
     from .ops import df64
     from .utils.timing import sync
 
-    # Cached per host object: the CSR+f64 conversion of a 7M-nnz A costs
-    # ~0.2 s and repeats on every solve call otherwise.
+    # Cached per host object + content fingerprint (the CSR+f64 conversion
+    # of a 7M-nnz A costs ~0.2 s per call otherwise; the fingerprint keeps
+    # the f64 true-residual honest for in-place-updated operands).
     from .operators.linop import cache_device_form as _cdf
-    A_h = _cdf(A, ("host_f64",), lambda: _as_host_matrix(A, "A"))
-    B_h = _cdf(B, ("host_f64",), lambda: _as_host_matrix(B, "B"))
-    C_h = _cdf(C, ("host_f64",), lambda: _as_host_matrix(C, "C"))
-    # Cached per host-A: the df64 pack uploads ~2x the K bytes — repeating
-    # it per solve would put a multi-second host->device transfer on every
-    # call (measured 4.8 s at n=1M over the tunneled backend).
-    from .operators.linop import cache_device_form
+    from .operators.linop import host_fingerprint as _fp
+    A_h = _cdf(A, ("host_f64", _fp(A)), lambda: _as_host_matrix(A, "A"))
+    B_h = _cdf(B, ("host_f64", _fp(B)), lambda: _as_host_matrix(B, "B"))
+    C_h = _cdf(C, ("host_f64", _fp(C)), lambda: _as_host_matrix(C, "C"))
+    # Cached per host-A + content fingerprints of all three blocks: the
+    # df64 pack uploads ~2x the K bytes — repeating it per solve would put
+    # a multi-second host->device transfer on every call (measured 4.8 s
+    # at n=1M over the tunneled backend).  Fingerprints (not ids) key the
+    # B/C dependence: a recycled id with different values must not serve a
+    # stale operator to the true-residual check (review r4).
+    from .operators.linop import cache_device_form, host_fingerprint
 
     Kdf = cache_device_form(
-        A, ("df_saddle", id(B), getattr(B, "nnz", 0),
-            id(C), getattr(C, "nnz", 0)),
+        A, ("df_saddle", host_fingerprint(A), host_fingerprint(B),
+            host_fingerprint(C)),
         lambda: df64.pack_df_saddle(A_h, B_h, C_h))
     if Kdf is None:
         return None
@@ -352,7 +359,7 @@ def prepare_mixed_device(method, b, A, B, C, M32, opts, *,
         n=n, m=m, args_stop=stop)
 
 
-def _try_solve_mixed_device(method, b, A_h, B_h, C_h, A, B, C, M32, opts, *,
+def _try_solve_mixed_device(method, b, A, B, C, M32, opts, *,
                             inner_rtol, inner_stagwin, max_outer,
                             spmv_format, tile_rows, ptime, t_all, forced):
     import jax

@@ -69,6 +69,8 @@ class MatrixOperator:
             # SymPermuted(inner=DIASpill) after an RCM spill fallback).
             inner = self.mat.inner
             yp = jnp.take(y, self.mat.perm)
+            if hasattr(inner, "nrows_pad"):      # PallasDIA
+                inner = inner.to_dia()
             if isinstance(inner, DIA):
                 yp = spmv.dia_rmatvec(inner, yp)
             elif isinstance(inner, DIASpill):
@@ -125,6 +127,30 @@ LinearOperator = (MatrixOperator, FunctionOperator)
 # matrix; values stay pinned on device until then.
 _DEV_CACHE: dict = {}
 _CACHE_MISS = object()
+
+
+def host_fingerprint(X) -> tuple:
+    """Cheap content fingerprint for device-cache keys.
+
+    id()-keyed caching alone is unsound two ways: a freed object's id can
+    be recycled by a different matrix, and IPM-style callers update
+    ``X.data`` in place between solves.  Sampling ~64 strided values (plus
+    shape/nnz) catches both at O(1) cost instead of O(nnz) hashing
+    (review r4).  A same-content false hit is harmless — the cached device
+    form is then exactly right."""
+    import scipy.sparse as sp
+
+    if sp.issparse(X):
+        d = X.data
+        nnz = int(X.nnz)
+    else:
+        d = np.asarray(X).reshape(-1)
+        nnz = int(d.size)
+    if d.size == 0:
+        return (tuple(int(v) for v in X.shape), 0, 0)
+    step = max(1, d.size // 64)
+    sample = np.ascontiguousarray(d[::step][:64])
+    return (tuple(int(v) for v in X.shape), nnz, hash(sample.tobytes()))
 
 
 def cache_device_form(obj, key_extra, build):
@@ -201,18 +227,19 @@ def aslinearoperator(obj, shape=None, dtype=None) -> object:
                 np.add.at(d, coo.row, coo.data)
                 return MatrixOperator(Diagonal(diag=jnp.asarray(d)))
 
+            fp = host_fingerprint(obj)
             if maybe_diag:
                 # Strictly diagonal operand (e.g. C = delta*I): a single
                 # elementwise multiply per matvec, numerically identical to
                 # the CSR row sums but gather-free (~7 ns/element saved per
                 # row per iteration on TPU).
                 diag_op = cache_device_form(
-                    obj, ("diag_op", np.dtype(dtype or obj.dtype).str),
+                    obj, ("diag_op", np.dtype(dtype or obj.dtype).str, fp),
                     build_diag_or_none)
                 if diag_op is not None:
                     return diag_op
             return cache_device_form(
-                obj, ("csr_op", np.dtype(dtype or obj.dtype).str),
+                obj, ("csr_op", np.dtype(dtype or obj.dtype).str, fp),
                 lambda: MatrixOperator(csr_from_scipy(obj, dtype=dtype)))
     except ImportError:  # pragma: no cover
         pass

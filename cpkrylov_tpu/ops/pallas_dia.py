@@ -139,7 +139,7 @@ def pallas_dia_matvec(mat: PallasDIA, x: jax.Array,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((K,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad,), mat.data.dtype),
+        out_shape=jax.ShapeDtypeStruct((npad,), x.dtype),
         interpret=interpret,
     )(*operands)
     return y[:nrows]

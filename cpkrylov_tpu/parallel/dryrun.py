@@ -76,10 +76,7 @@ def run_dryrun(n_devices: int) -> None:
         "dryrun requires f64 numerics (its convergence tolerances assume "
         f"them) but the canonical dtype resolved to {dtype}")
     rtol = 1e-6
-    # Solution-drift tolerance between serial and distributed runs; scaled
-    # with dtype so an (explicitly requested) f32 leg is not judged against
-    # f64 reduction-order noise.
-    drift_tol = 1e-6 if dtype == np.float64 else 1e-3
+    drift_tol = 1e-6   # serial-vs-distributed solution drift at f64
 
     # A few-thousand-row banded system: large enough that the row shards,
     # halo exchange, and the distributed Schur preconditioner all engage,

@@ -302,6 +302,11 @@ def build_pallas_tri(T, panel: int = 16, dtype=np.float32,
         return None
     inv_np, w_np, n, p, r = packed
     nb = inv_np.shape[0]
+    # Cap the chunk near the panel count: padding nb up to a 1024-lane
+    # chunk would inflate a wide-panel factor's memory by up to 64x past
+    # the gate _build_tri just checked (review r4).  128-aligned so the
+    # kernel's segment doubling stays applicable.
+    chunk = min(chunk, max(128, -(-nb // 128) * 128))
     nb_pad = -(-nb // chunk) * chunk
     inv = np.zeros((nb_pad, p, p), np.float32)
     inv[:nb] = inv_np

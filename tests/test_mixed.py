@@ -120,3 +120,31 @@ def test_mixed_honest_when_budget_exhausted():
                       max_outer=1)
     assert not out.solved               # one f32 pass cannot reach 1e-14
     assert out.nouter == 1
+
+
+def test_mixed_cache_tracks_inplace_updates():
+    """solve_mixed's host/f64 and df64 caches must not serve stale
+    operators when a caller updates matrix values IN PLACE between calls
+    (review r4): the fingerprinted keys re-pack and the solve converges on
+    the NEW system."""
+    import scipy.sparse as sp
+
+    from cpkrylov_tpu import SolverOptions, solve_mixed
+    from cpkrylov_tpu.utils.fixtures import banded_saddle_system
+
+    sysm = banded_saddle_system(1024, 256, bandwidth=3, with_oracle=False)
+    opts = SolverOptions(atol=0.0, rtol=1e-10, itmax=300)
+    out1 = solve_mixed("cpminres", sysm.b, sysm.A, sysm.B, sysm.C, sysm.G,
+                       opts=opts, device_resident=True)
+    assert out1.solved
+
+    # in-place value change on the SAME object (same sparsity)
+    sysm.A.data *= 1.5
+    sysm.G = sp.diags(sysm.A.diagonal()).tocsr()
+    out2 = solve_mixed("cpminres", sysm.b, sysm.A, sysm.B, sysm.C, sysm.G,
+                       opts=opts, device_resident=True)
+    assert out2.solved
+    K2 = sp.bmat([[sysm.A, sysm.B.T], [sysm.B, -sysm.C]]).tocsr()
+    r2 = sysm.b - K2 @ out2.x
+    assert np.linalg.norm(r2) <= 1e-10 * np.linalg.norm(sysm.b), (
+        "stale cached operator: residual checked against the old A")
