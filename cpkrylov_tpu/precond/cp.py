@@ -543,6 +543,23 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
                 thresh = (1e-12 if np.dtype(dtype) == np.float64
                           else 40 * np.finfo(np.dtype(dtype)).eps)
                 factor_nitref = 0 if rel <= thresh else 1
+                if rel > 1e-2:
+                    # cond(K_P) * eps_dtype >= O(1): even a backward-stable
+                    # factor solve carries O(1) relative error at this
+                    # precision, refinement is non-contractive, and f32
+                    # Krylov solves will stagnate (measured on the CVXQP
+                    # family at interior-point conditioning; see
+                    # benchmarks/MM_SWEEP_M_F32_MU2.json).  Surface it at
+                    # build time instead of letting solves quietly stall.
+                    import warnings
+
+                    warnings.warn(
+                        f"constraint preconditioner: K_P is not accurately "
+                        f"factorable at {np.dtype(dtype).name} (probe solve "
+                        f"relative residual {rel:.1e}); f32 Krylov solves "
+                        "will stagnate near this floor — use the f64 path "
+                        "(jax_enable_x64 on CPU) for this system",
+                        RuntimeWarning, stacklevel=2)
         else:
             factor_nitref = 0
     kp_dev = pack_device_format(ksp, spmv_format, tile_rows, dtype)
