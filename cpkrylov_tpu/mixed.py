@@ -187,6 +187,7 @@ def solve_mixed(method, b, A, B, C, G, *,
     inner_iters = []
     solved = rnorm <= stop
     stagnant = 0
+    stagwin_cur = inner_stagwin
     for _ in range(max_outer):
         if solved:
             break
@@ -201,11 +202,23 @@ def solve_mixed(method, b, A, B, C, G, *,
         new_norm = float(np.linalg.norm(r))
         history.append(new_norm)
         solved = new_norm <= stop
-        # Honest stall detection: two consecutive passes with <2x reduction
-        # means f32 corrections can no longer improve the f64 residual.
+        # Stall detection: two consecutive passes with <2x reduction.
         stagnant = stagnant + 1 if new_norm > 0.5 * rnorm else 0
         rnorm = max(new_norm, np.finfo(np.float64).tiny)
         if stagnant >= 2:
+            # A coarsely-factorable K_P (cond * eps_f32 ~ O(1)) leaves the
+            # f32-preconditioned system un-clustered but still convergent
+            # — just SLOWLY, so the default stagnation window cuts the
+            # inner solves off before their corrections help (measured:
+            # CVXQP2 converges in ~1200 inner iterations once the window
+            # opens).  Escalate the window instead of giving up; genuine
+            # non-convergence still exits once the cap is reached.
+            if stagwin_cur and stagwin_cur < 512:
+                stagwin_cur *= 4
+                inner_opts = dataclasses.replace(inner_opts,
+                                                 stagwin=stagwin_cur)
+                stagnant = 0
+                continue
             break
 
     return MixedSolveOutput(

@@ -97,6 +97,7 @@ def dist_solve_mixed(mesh, method, b, A, B, C, G, *,
     inner_iters = []
     solved = rnorm <= stop
     stagnant = 0
+    stagwin_cur = inner_stagwin
     for _ in range(max_outer):
         if solved:
             break
@@ -115,6 +116,14 @@ def dist_solve_mixed(mesh, method, b, A, B, C, G, *,
         stagnant = stagnant + 1 if new_norm > 0.5 * rnorm else 0
         rnorm = max(new_norm, np.finfo(np.float64).tiny)
         if stagnant >= 2:
+            # escalate the inner stagnation window before giving up (see
+            # mixed.solve_mixed — coarsely-factorable K_P converges slowly)
+            if stagwin_cur and stagwin_cur < 512:
+                stagwin_cur *= 4
+                inner_opts = dataclasses.replace(inner_opts,
+                                                 stagwin=stagwin_cur)
+                stagnant = 0
+                continue
             break
 
     return MixedSolveOutput(

@@ -554,11 +554,13 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
                     import warnings
 
                     warnings.warn(
-                        f"constraint preconditioner: K_P is not accurately "
+                        f"constraint preconditioner: K_P is only coarsely "
                         f"factorable at {np.dtype(dtype).name} (probe solve "
-                        f"relative residual {rel:.1e}); f32 Krylov solves "
-                        "will stagnate near this floor — use the f64 path "
-                        "(jax_enable_x64 on CPU) for this system",
+                        f"relative residual {rel:.1e}); f32 solves will "
+                        "need many iterations (mixed refinement escalates "
+                        "its inner budget automatically) — the f64 path "
+                        "(jax_enable_x64 on CPU) is the fast route for "
+                        "this system",
                         RuntimeWarning, stacklevel=2)
         else:
             factor_nitref = 0
