@@ -398,6 +398,13 @@ def _try_solve_mixed_device(method, b, A, B, C, M32, opts, *,
         (xh, xl, hist, it, k, solved))
     stime = time.perf_counter() - t_all
 
+    if not bool(solved_np) and not forced:
+        # The one-dispatch loop has a FIXED inner stagnation window; a
+        # coarsely-factorable K_P needs the escalating host loop.  Fall
+        # through (return None) so solve_mixed retries there — correct
+        # result over latency when the fast path cannot converge.
+        return None
+
     n = solver.n
     x = df64.df_to_f64(xh_np, xl_np)
     nouter = int(k_np)
