@@ -70,9 +70,9 @@ def _maybe_pack_pgell(A, spmv_format: str, tile_rows: int, dtype):
     from .operators.linop import host_fingerprint
 
     return cache_device_form(
-        A, ("packed", spmv_format, tile_rows, np.dtype(dtype).str,
-            host_fingerprint(A)),
-        lambda: pack_device_format(A, spmv_format, tile_rows, dtype))
+        A, ("packed", spmv_format, tile_rows, np.dtype(dtype).str),
+        lambda: pack_device_format(A, spmv_format, tile_rows, dtype),
+        fingerprint=host_fingerprint(A))
 
 
 def _maybe_pack_rect(B, spmv_format: str, dtype):
@@ -89,8 +89,9 @@ def _maybe_pack_rect(B, spmv_format: str, dtype):
     from .operators.linop import host_fingerprint
 
     return cache_device_form(
-        B, ("dia_rect", np.dtype(dtype).str, host_fingerprint(B)),
-        lambda: pack_dia(B.tocsr(), dtype=dtype))
+        B, ("dia_rect", np.dtype(dtype).str),
+        lambda: pack_dia(B.tocsr(), dtype=dtype),
+        fingerprint=host_fingerprint(B))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -125,9 +125,12 @@ def solve_mixed(method, b, A, B, C, G, *,
     # the f64 true-residual honest for in-place-updated operands).
     from .operators.linop import cache_device_form as _cdf
     from .operators.linop import host_fingerprint as _fp
-    A_h = _cdf(A, ("host_f64", _fp(A)), lambda: _as_host_matrix(A, "A"))
-    B_h = _cdf(B, ("host_f64", _fp(B)), lambda: _as_host_matrix(B, "B"))
-    C_h = _cdf(C, ("host_f64", _fp(C)), lambda: _as_host_matrix(C, "C"))
+    A_h = _cdf(A, ("host_f64",), lambda: _as_host_matrix(A, "A"),
+               fingerprint=_fp(A))
+    B_h = _cdf(B, ("host_f64",), lambda: _as_host_matrix(B, "B"),
+               fingerprint=_fp(B))
+    C_h = _cdf(C, ("host_f64",), lambda: _as_host_matrix(C, "C"),
+               fingerprint=_fp(C))
     n, m = A_h.shape[0], C_h.shape[0]
     b = np.asarray(b, dtype=np.float64).reshape(-1)
     if b.shape[0] != n + m:
@@ -253,8 +256,20 @@ def _mixed_device_core_impl(method, b_hi, b_lo, Kdf, A_op, C_op, B_op, M,
     from .ops import df64
 
     f32 = jnp.float32
+
+    def norm32(v):
+        # Scaled 2-norm: a plain f32 norm square-underflows entries below
+        # ~1e-19, so badly scaled systems (tiny ||b||) could report solved
+        # prematurely while the host loop's f64 norm would not (advisor
+        # r4).  Factoring out max|v| keeps the largest square at 1.0; the
+        # entries that still underflow relative to it are negligible in
+        # the sum, so the result matches the host contract to f32 eps.
+        mx = jnp.max(jnp.abs(v))
+        safe = jnp.maximum(mx, f32(np.finfo(np.float32).tiny))
+        return mx * jnp.linalg.norm(v / safe)
+
     N = b_hi.shape[0]
-    bnorm = jnp.linalg.norm(b_hi)
+    bnorm = norm32(b_hi)
     hist0 = jnp.full(max_outer + 1, jnp.nan, f32).at[0].set(bnorm)
     iters0 = jnp.zeros(max_outer, jnp.int32)
     zero = jnp.zeros(N, f32)
@@ -272,7 +287,7 @@ def _mixed_device_core_impl(method, b_hi, b_lo, Kdf, A_op, C_op, B_op, M,
         xh, xl = df64.df_axpy(rnorm, d, (xh, xl))
         kx = Kdf.matvec((xh, xl))
         rh2, rl2 = df64.df_add((b_hi, b_lo), df64.df_neg(kx))
-        new_norm = jnp.linalg.norm(rh2)
+        new_norm = norm32(rh2)
         solved2 = new_norm <= stop
         stag2 = jnp.where(new_norm > 0.5 * rnorm,
                           stag + jnp.int32(1), jnp.int32(0))
@@ -331,9 +346,12 @@ def prepare_mixed_device(method, b, A, B, C, M32, opts, *,
     # the f64 true-residual honest for in-place-updated operands).
     from .operators.linop import cache_device_form as _cdf
     from .operators.linop import host_fingerprint as _fp
-    A_h = _cdf(A, ("host_f64", _fp(A)), lambda: _as_host_matrix(A, "A"))
-    B_h = _cdf(B, ("host_f64", _fp(B)), lambda: _as_host_matrix(B, "B"))
-    C_h = _cdf(C, ("host_f64", _fp(C)), lambda: _as_host_matrix(C, "C"))
+    A_h = _cdf(A, ("host_f64",), lambda: _as_host_matrix(A, "A"),
+               fingerprint=_fp(A))
+    B_h = _cdf(B, ("host_f64",), lambda: _as_host_matrix(B, "B"),
+               fingerprint=_fp(B))
+    C_h = _cdf(C, ("host_f64",), lambda: _as_host_matrix(C, "C"),
+               fingerprint=_fp(C))
     # Cached per host-A + content fingerprints of all three blocks: the
     # df64 pack uploads ~2x the K bytes — repeating it per solve would put
     # a multi-second host->device transfer on every call (measured 4.8 s
@@ -343,9 +361,10 @@ def prepare_mixed_device(method, b, A, B, C, M32, opts, *,
     from .operators.linop import cache_device_form, host_fingerprint
 
     Kdf = cache_device_form(
-        A, ("df_saddle", host_fingerprint(A), host_fingerprint(B),
-            host_fingerprint(C)),
-        lambda: df64.pack_df_saddle(A_h, B_h, C_h))
+        A, ("df_saddle",),
+        lambda: df64.pack_df_saddle(A_h, B_h, C_h),
+        fingerprint=(host_fingerprint(A), host_fingerprint(B),
+                     host_fingerprint(C)))
     if Kdf is None:
         return None
 

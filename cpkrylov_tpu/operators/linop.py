@@ -130,14 +130,17 @@ _CACHE_MISS = object()
 
 
 def host_fingerprint(X) -> tuple:
-    """Cheap content fingerprint for device-cache keys.
+    """Content fingerprint for device-cache keys.
 
     id()-keyed caching alone is unsound two ways: a freed object's id can
     be recycled by a different matrix, and IPM-style callers update
-    ``X.data`` in place between solves.  Sampling ~64 strided values (plus
-    shape/nnz) catches both at O(1) cost instead of O(nnz) hashing
-    (review r4).  A same-content false hit is harmless — the cached device
-    form is then exactly right."""
+    ``X.data`` in place between solves.  The fingerprint combines ~64
+    strided samples with full-array sum/abs-sum reductions (vectorized
+    O(nnz), far cheaper than repacking) so an in-place update of ANY entry
+    changes it — strided sampling alone deterministically misses updates
+    that fall between the sample positions, e.g. a few regularization
+    entries in an IPM loop (review r4/r5).  A same-content false hit is
+    harmless — the cached device form is then exactly right."""
     import scipy.sparse as sp
 
     if sp.issparse(X):
@@ -150,23 +153,40 @@ def host_fingerprint(X) -> tuple:
         return (tuple(int(v) for v in X.shape), 0, 0)
     step = max(1, d.size // 64)
     sample = np.ascontiguousarray(d[::step][:64])
-    return (tuple(int(v) for v in X.shape), nnz, hash(sample.tobytes()))
+    try:
+        df = d.astype(np.float64, copy=False)
+        s, sa = float(df.sum()), float(np.abs(df).sum())
+    except (TypeError, ValueError):
+        # non-numeric operand (e.g. an operator wrapper) — let the caller's
+        # build() raise its own, clearer error
+        s = sa = None
+    return (tuple(int(v) for v in X.shape), nnz, hash(sample.tobytes()),
+            s, sa)
 
 
-def cache_device_form(obj, key_extra, build):
-    """Memoize ``build()`` per host object + key; see _DEV_CACHE above."""
+def cache_device_form(obj, key_extra, build, fingerprint=None):
+    """Memoize ``build()`` per host object + key; see _DEV_CACHE above.
+
+    ``fingerprint`` (from :func:`host_fingerprint`) is compared — not
+    keyed — on each lookup: a changed fingerprint REPLACES the entry
+    instead of accreting a new key, so long in-place-update loops (IPM
+    callers) hold exactly one pinned device copy per (object, key) rather
+    than one per historical content state (review r5)."""
     key = (id(obj),) + tuple(key_extra)
     hit = _DEV_CACHE.get(key, _CACHE_MISS)
     if hit is not _CACHE_MISS:
-        return hit
+        stored_fp, val = hit
+        if stored_fp == fingerprint:
+            return val
     val = build()                 # may legitimately be None (format-gate
     #                               reject) — cached too, so the rejection
     #                               work runs only once
-    try:
-        weakref.finalize(obj, _DEV_CACHE.pop, key, None)
-    except TypeError:
-        return val                # not weakref-able: no caching
-    _DEV_CACHE[key] = val
+    if hit is _CACHE_MISS:
+        try:
+            weakref.finalize(obj, _DEV_CACHE.pop, key, None)
+        except TypeError:
+            return val            # not weakref-able: no caching
+    _DEV_CACHE[key] = (fingerprint, val)
     return val
 
 # Wrapping a user callable creates a fresh closure; since ``fn`` is a meta
@@ -234,13 +254,14 @@ def aslinearoperator(obj, shape=None, dtype=None) -> object:
                 # the CSR row sums but gather-free (~7 ns/element saved per
                 # row per iteration on TPU).
                 diag_op = cache_device_form(
-                    obj, ("diag_op", np.dtype(dtype or obj.dtype).str, fp),
-                    build_diag_or_none)
+                    obj, ("diag_op", np.dtype(dtype or obj.dtype).str),
+                    build_diag_or_none, fingerprint=fp)
                 if diag_op is not None:
                     return diag_op
             return cache_device_form(
-                obj, ("csr_op", np.dtype(dtype or obj.dtype).str, fp),
-                lambda: MatrixOperator(csr_from_scipy(obj, dtype=dtype)))
+                obj, ("csr_op", np.dtype(dtype or obj.dtype).str),
+                lambda: MatrixOperator(csr_from_scipy(obj, dtype=dtype)),
+                fingerprint=fp)
     except ImportError:  # pragma: no cover
         pass
     arr = jnp.asarray(obj, dtype=dtype)

@@ -63,10 +63,18 @@ def dist_solve_mixed(mesh, method, b, A, B, C, G, *,
     opts = opts or SolverOptions()
     t_all = time.perf_counter()
 
+    # Content-fingerprinted like the serial path (mixed.solve_mixed): an
+    # id()-only key serves a stale A_h/B_h/C_h after an in-place .data
+    # update, making the f64 true-residual check validate the OLD system
+    # (advisor r4, medium).
     from ..operators.linop import cache_device_form as _cdf
-    A_h = _cdf(A, ("host_f64",), lambda: _as_host_matrix(A, "A"))
-    B_h = _cdf(B, ("host_f64",), lambda: _as_host_matrix(B, "B"))
-    C_h = _cdf(C, ("host_f64",), lambda: _as_host_matrix(C, "C"))
+    from ..operators.linop import host_fingerprint as _fp
+    A_h = _cdf(A, ("host_f64",), lambda: _as_host_matrix(A, "A"),
+               fingerprint=_fp(A))
+    B_h = _cdf(B, ("host_f64",), lambda: _as_host_matrix(B, "B"),
+               fingerprint=_fp(B))
+    C_h = _cdf(C, ("host_f64",), lambda: _as_host_matrix(C, "C"),
+               fingerprint=_fp(C))
     n, m = A_h.shape[0], C_h.shape[0]
     b = np.asarray(b, dtype=np.float64).reshape(-1)
     if b.shape[0] != n + m:

@@ -279,16 +279,23 @@ def _plan_shard_exchange(gather_idx, scatter_idx, s_nat, n, m, ndev, N):
     m_loc = -(-m // ndev)
     hx = hy = 0
     for d in range(ndev):
-        g = np.asarray(gather_idx[d])
-        g = g[g < N]
-        gx = g[g < n]
-        gy = g[g >= n] - n
-        if gx.size:
-            hx = max(hx, int(d * n_loc - gx.min()),
-                     int(gx.max() - ((d + 1) * n_loc - 1)))
-        if gy.size:
-            hy = max(hy, int(d * m_loc - gy.min()),
-                     int(gy.max() - ((d + 1) * m_loc - 1)))
+        # BOTH index sets bound the halo reach: a scatter index outside
+        # the gather-derived window would map to a NEGATIVE buffer index,
+        # and .at[].add(mode="drop") wraps negatives from the end instead
+        # of dropping them — silent output corruption (advisor r4).  The
+        # previous gather-only bound held by the implicit invariant that
+        # K_P's nonzero diagonal keeps scatter reach within gather reach.
+        for idx in (gather_idx[d], scatter_idx[d]):
+            g = np.asarray(idx)
+            g = g[g < N]
+            gx = g[g < n]
+            gy = g[g >= n] - n
+            if gx.size:
+                hx = max(hx, int(d * n_loc - gx.min()),
+                         int(gx.max() - ((d + 1) * n_loc - 1)))
+            if gy.size:
+                hy = max(hy, int(d * m_loc - gy.min()),
+                         int(gy.max() - ((d + 1) * m_loc - 1)))
     hx, hy = max(hx, 0), max(hy, 0)
     if hx > n_loc or hy > m_loc:
         return None
@@ -308,6 +315,11 @@ def _plan_shard_exchange(gather_idx, scatter_idx, s_nat, n, m, ndev, N):
     ndev_ = gather_idx.shape[0]
     gidx = np.stack([to_ext(gather_idx[d], d) for d in range(ndev_)])
     sidx = np.stack([to_ext(scatter_idx[d], d) for d in range(ndev_)])
+    # Safety net: any mapped index outside [0, ext_len] would corrupt the
+    # halo buffer (negative wrap, see above) — fall back to all-gather.
+    if (gidx.size and (gidx.min() < 0 or gidx.max() > ext_len)) or \
+            (sidx.size and (sidx.min() < 0 or sidx.max() > ext_len)):
+        return None
 
     s_nat = np.asarray(s_nat, np.int64)
     s = s_nat.size

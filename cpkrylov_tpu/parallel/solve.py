@@ -179,11 +179,19 @@ def plan_dist(A, B, C, ndev: int, dtype=np.float64, halo: bool = True
                                    dtype)
         return DistPlan(blocks=blocks, halos=halos)
 
-    # Memoized per host-A (same ndev/dtype/halo): repeated dist_solve calls
+    # Memoized per host-A + content fingerprints of all three partitioned
+    # blocks (advisor r4: an id()-only key partitions stale data after an
+    # in-place update; same ndev/dtype/halo): repeated dist_solve calls
     # on one system must reuse both the packed blocks AND the plan object
     # identity — the compiled shard_map program is cached on it below.
+    # A changed fingerprint replaces the plan; the old plan's finalizer
+    # then evicts its compiled programs from _MAPPED_CACHE.
+    from ..operators.linop import host_fingerprint
+
     return cache_device_form(
-        A, ("dist_plan", ndev, np.dtype(dtype).str, bool(halo)), build)
+        A, ("dist_plan", ndev, np.dtype(dtype).str, bool(halo)), build,
+        fingerprint=(host_fingerprint(A), host_fingerprint(B),
+                     host_fingerprint(C)))
 
 
 # Compiled shard_map programs, keyed by (plan identity, mesh, kernel,

@@ -324,6 +324,37 @@ def test_dist_solve_mixed_reaches_f64_tolerance(ndev):
     assert out.nouter >= 1 and out.niters > 0
 
 
+def test_dist_mixed_cache_tracks_inplace_updates():
+    """Distributed analogue of test_mixed_cache_tracks_inplace_updates
+    (advisor r4, medium): mutating A.data IN PLACE between two
+    dist_solve_mixed calls must not serve stale host-f64 blocks or a stale
+    partition plan — the second solve's f64 true residual is computed
+    against the NEW system."""
+    import scipy.sparse as sp
+
+    from cpkrylov_tpu.parallel import dist_solve_mixed
+    from cpkrylov_tpu.utils.fixtures import banded_saddle_system
+
+    sysm = banded_saddle_system(1024, 256, bandwidth=3, with_oracle=False)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("rows",))
+    opts = SolverOptions(atol=0.0, rtol=1e-10, itmax=300)
+
+    out1 = dist_solve_mixed(mesh, "cpminres", sysm.b, sysm.A, sysm.B,
+                            sysm.C, sysm.G, opts=opts)
+    assert out1.solved
+
+    # in-place value change on the SAME objects (same sparsity pattern)
+    sysm.A.data *= 1.5
+    sysm.G = sp.diags(sysm.A.diagonal()).tocsr()
+    out2 = dist_solve_mixed(mesh, "cpminres", sysm.b, sysm.A, sysm.B,
+                            sysm.C, sysm.G, opts=opts)
+    assert out2.solved
+    K2 = sp.bmat([[sysm.A, sysm.B.T], [sysm.B, -sysm.C]]).tocsr()
+    r2 = sysm.b - K2 @ out2.x
+    assert np.linalg.norm(r2) <= 1e-10 * np.linalg.norm(sysm.b), (
+        "stale cached blocks/plan: residual checked against the old A")
+
+
 def test_schur_sharded_apply_matches_gather_path():
     """Schur-native sharded preconditioner apply (VERDICT r3 item 6): same
     numerics as the all-gather path, with per-apply comms O(N/ndev + s)

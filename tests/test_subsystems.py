@@ -210,3 +210,54 @@ def test_profiler_trace_writes_events(tmp_path):
 
     found = [f for _, _, fs in os.walk(logdir) for f in fs]
     assert found, "no trace events written"
+
+
+# ---------------------------------------------------------------------------
+# device-form cache: fingerprint coverage + eviction (advisor r4/r5)
+# ---------------------------------------------------------------------------
+
+def test_host_fingerprint_sees_any_entry_change():
+    """The fingerprint must change when ANY entry changes — strided
+    sampling alone deterministically misses updates between sample
+    positions (e.g. a few IPM regularization entries)."""
+    import scipy.sparse as sp
+
+    from cpkrylov_tpu.operators.linop import host_fingerprint
+
+    rng = np.random.default_rng(3)
+    A = sp.random(500, 500, density=0.02, format="csr", random_state=3)
+    fp0 = host_fingerprint(A)
+    # touch ONE entry at a position a 64-sample stride will skip
+    A.data[1] += 1e-3
+    assert host_fingerprint(A) != fp0
+    A.data[1] -= 1e-3
+    assert host_fingerprint(A) == fp0
+    del rng
+
+
+def test_cache_device_form_replaces_stale_entry():
+    """A changed fingerprint REPLACES the cache entry instead of accreting
+    a new key: long in-place-update loops must hold one pinned device copy
+    per (object, key), not one per historical content state."""
+    import scipy.sparse as sp
+
+    from cpkrylov_tpu.operators.linop import (_DEV_CACHE, cache_device_form,
+                                              host_fingerprint)
+
+    A = sp.random(64, 64, density=0.1, format="csr", random_state=5)
+    keys_for = lambda obj: [k for k in _DEV_CACHE if k[0] == id(obj)]
+    builds = []
+
+    def build():
+        builds.append(1)
+        return A.data.sum()
+
+    v1 = cache_device_form(A, ("t5",), build, fingerprint=host_fingerprint(A))
+    v1b = cache_device_form(A, ("t5",), build, fingerprint=host_fingerprint(A))
+    assert v1 == v1b and len(builds) == 1
+    n_keys = len(keys_for(A))
+    for _ in range(4):                       # IPM-style in-place updates
+        A.data *= 1.01
+        cache_device_form(A, ("t5",), build, fingerprint=host_fingerprint(A))
+    assert len(builds) == 5                  # rebuilt per content change
+    assert len(keys_for(A)) == n_keys        # ...but no key accretion
