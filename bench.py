@@ -65,6 +65,10 @@ def _mat_bytes(mat, nrows: int, itemsize: int) -> float:
 
 def _factor_traffic(tf, itemsize: int) -> float:
     """HBM bytes one triangular solve reads/writes for a prepared factor."""
+    if hasattr(tf, "a2"):         # BidiagTriFactor: flat-layout scan kernel
+        # kernel reads a, invd, b (3N) + writes x0, P (2N); the fixup
+        # reads x0, P and writes x (3N)
+        return float(8.0 * tf.n * np.dtype(tf.a2.dtype).itemsize)
     if hasattr(tf, "inv_t"):      # PallasTriFactor: one fused kernel pass
         isz = np.dtype(tf.inv_t.dtype).itemsize
         return float((tf.inv_t.size + tf.w_t.size) * isz

@@ -61,6 +61,45 @@ def main():
         return g
 
     out = {}
+
+    # Device marginal per INNER iteration + device fixed per pass: capped
+    # variants (rtol=0 forces exactly itmax iterations, max_outer=1) run
+    # R times in-program; slopes over (R, itmax).
+    import dataclasses as dc
+    cap_walls = {}
+    for cap in (3, 13):
+        iopts = dc.replace(inner_opts, atol=0.0, rtol=0.0, itmax=cap,
+                           stagwin=0)
+
+        def run_cap(R, iopts=iopts):
+            @jax.jit
+            def g(b_hi, b_lo, Kdf, A_op, C_op, B_op, Mp):
+                def body(i, acc):
+                    bh = b_hi + jnp.float32(1e-30) * i
+                    xh, xl, hist, it, k, solved = _mixed_device_core_impl(
+                        method, bh, b_lo, Kdf, A_op, C_op, B_op, Mp,
+                        iopts, np.float32(0.0), 1)
+                    return acc + xh[0] + hist[k] + it.sum().astype(jnp.float32)
+                return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
+            return g
+
+        ws = {}
+        for R in (1, 5):
+            g = run_cap(R)
+            sync(g(*args))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                sync(g(*args))
+                best = min(best, time.perf_counter() - t0)
+            ws[R] = best
+        cap_walls[cap] = (ws[5] - ws[1]) / 4
+        out[f"device_per_pass_cap{cap}_ms"] = round(cap_walls[cap] * 1e3, 3)
+    per_iter = (cap_walls[13] - cap_walls[3]) / 10
+    out["device_marginal_per_iter_ms"] = round(per_iter * 1e3, 3)
+    out["device_fixed_per_pass_ms"] = round(
+        (cap_walls[3] - 3 * per_iter) * 1e3, 3)
+
     walls = {}
     for R in (1, 5):
         g = run_R(R)

@@ -22,6 +22,12 @@ class PrecondOptions:
     itref_tol: float = 1.0e-8       # refinement trigger: rNorm >= tol * xNorm
     force_itref: bool = False       # always run nitref steps
     residual_update: bool = False   # Gould-Hribar-Nocedal residual update
+    apply_df64: bool | str = "auto"  # df64-applied factor for coarsely-
+    #                                  factorable K_P at f32 (see
+    #                                  precond/df_factor.py): "auto" engages
+    #                                  when the build probe finds the plain
+    #                                  f32 apply unusable; True forces it,
+    #                                  False keeps the plain factor
 
     def __post_init__(self):
         object.__setattr__(self, "nitref", max(0, int(round(self.nitref))))

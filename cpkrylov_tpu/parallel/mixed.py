@@ -109,6 +109,13 @@ def dist_solve_mixed(mesh, method, b, A, B, C, G, *,
     for _ in range(max_outer):
         if solved:
             break
+        # Adaptive per-pass target, quantized to a power of ten (bounded
+        # jit-cache growth), gated on a build-probe-exact factor — see
+        # mixed.solve_mixed (VERDICT r4 item 6).
+        if getattr(M32, "factor_exact", False) and stop > 0:
+            t_pass = min(inner_rtol, max(0.3 * stop / rnorm, 1e-7))
+            t_pass = 10.0 ** np.floor(np.log10(max(t_pass, 1e-7)))
+            inner_opts = dataclasses.replace(inner_opts, rtol=float(t_pass))
         res, x1c, x2c = dist_solve(
             mesh, method, (r / rnorm).astype(np.float32), A, B, C, G,
             opts=inner_opts, M=M32, panel=panel, halo=halo,

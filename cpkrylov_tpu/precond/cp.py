@@ -95,7 +95,8 @@ class CPState(NamedTuple):
 
 
 @partial(_register, data_fields=("factor", "kp"),
-         meta_fields=("n", "m", "options", "factor_nitref", "nperturbed"))
+         meta_fields=("n", "m", "options", "factor_nitref", "nperturbed",
+                      "factor_exact"))
 @dataclasses.dataclass(frozen=True)
 class CPPrecond:
     """Constraint preconditioner: factors + K_P + behavioural options."""
@@ -117,6 +118,14 @@ class CPPrecond:
     # reference's MA57 never perturbs, so any nonzero count is surfaced as
     # a warning by make_preconditioner.
     nperturbed: int = 0
+    # True when the build probe found the factor exact AT THE DEVICE DTYPE
+    # (probe residual <= 40 eps).  Mixed-precision drivers use this to
+    # decide how deep a single f32 inner pass can be targeted: an exact
+    # factor supports recurrence residuals near the f32 floor (~1e-7); a
+    # coarse one stalls below ~1e-4 and deep targets only burn the
+    # stagnation window (measured round 5 on cvxqp1_m).  Defaults False:
+    # only a construction path that actually probes may claim it.
+    factor_exact: bool = False
 
     def _direct_solve(self, z: jax.Array) -> jax.Array:
         y = self.factor.solve(z)
@@ -257,7 +266,10 @@ def _build_tri(T, panel: int, dtype, max_scan_bytes: int = 2 << 30):
     # narrow-band factors (VERDICT r3: the preconditioner apply must cost
     # <= ~3x the A SpMV).  Wide-reach factors still escalate through the
     # larger panels under the memory cap.
-    p0 = max(16, -(-max(reach, 1) // 8) * 8)
+    # p=8 is the lane-major kernel's minimum clean sublane count; narrow
+    # bands (the interleave-ordered bench factor has reach 1) halve the
+    # dominant inv-panel read vs p=16 (N*p floats per trisolve).
+    p0 = max(8, -(-max(reach, 1) // 8) * 8)
     # TPU f32 hot path: the fused Pallas trisolve kernel (pallas_tri.py)
     # replaces the associative_scan state pass — XLA's scan on (nb, r, r)
     # operands runs ~5x slower than the kernel's one-pass lane-major form
@@ -270,6 +282,16 @@ def _build_tri(T, panel: int, dtype, max_scan_bytes: int = 2 << 30):
                       and np.dtype(dtype) == np.float32)
     except Exception:  # pragma: no cover - backend probing must never fail
         use_pallas = False
+    if use_pallas and reach <= 1 and max_scan_bytes > 0:
+        # Bidiagonal factor (the interleave-ordered production case): the
+        # flat-layout kernel reads ~8N bytes per solve vs (p + r + 2)N
+        # for the panel-inverse form, and runs its scan at full sublane
+        # occupancy (pallas_bidiag.py, round 5).
+        from .pallas_bidiag import build_bidiag_tri
+
+        tf = build_bidiag_tri(T, dtype=dtype)
+        if tf is not None:
+            return tf
     for p in (p0, 128, 256, 512, 1024):
         # n >= 2048 keeps small systems on plain blocked substitution —
         # already cheap there, and free of the scan's extra roundoff
@@ -476,6 +498,7 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
     this hardware.  Elsewhere "auto" means RCM (reference-parity mode).
     """
     options = options or PrecondOptions()
+    factor_exact = False
     n = G.shape[0]
     m = C.shape[0]
     ksp = assemble_kp(G, B, C)
@@ -543,6 +566,43 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
                 thresh = (1e-12 if np.dtype(dtype) == np.float64
                           else 40 * np.finfo(np.dtype(dtype)).eps)
                 factor_nitref = 0 if rel <= thresh else 1
+                factor_exact = rel <= thresh
+                # Coarsely-factorable K_P at f32 (element growth makes the
+                # f32-STORED factor unusable — probe residual near O(1),
+                # and K_P-level f32 refinement is non-contractive there):
+                # swap in the df64-applied factor (df_factor.py), which
+                # keeps factor entries as (hi, lo) f32 pairs and refines
+                # each triangular solve against them.  Restores f64-like
+                # inner iteration counts on the f32 TPU path
+                # (opLDL2.m:173-187 semantics at TPU precision).
+                want_df = options.apply_df64
+                if (np.dtype(dtype) == np.float32
+                        and (want_df is True
+                             or (want_df == "auto" and rel > 1e-2))):
+                    from .df_factor import build_df_factor_apply
+
+                    def _dev_probe(f):
+                        yh_ = np.asarray(f.solve(
+                            jnp.asarray(z, dtype=jnp.float32)), np.float64)
+                        return (np.linalg.norm(ksp @ yh_ - z)
+                                / max(np.linalg.norm(z), 1e-300))
+
+                    # Comparative gate: the df64 apply wins decisively when
+                    # element growth broke the f32-stored factor (probe
+                    # 8e-1 -> 3e-8 on cvxqp2_1000), but on systems whose
+                    # cond(K_P) itself approaches 2^48 it cannot beat the
+                    # plain factor + nitref (cvxqp1_m: plain-path solves in
+                    # 63 mixed inner iters, df64 took 139).  Probe both
+                    # through the DEVICE pipeline and keep the better.
+                    df = build_df_factor_apply(factor, fac, n + m, nref=1)
+                    rel_plain = _dev_probe(factor)
+                    rel_df = _dev_probe(df)
+                    if want_df is True or rel_df < 0.3 * rel_plain:
+                        factor = df
+                        factor_nitref = 0
+                        rel = rel_df
+                    else:
+                        rel = rel_plain
                 if rel > 1e-2:
                     # cond(K_P) * eps_dtype >= O(1): even a backward-stable
                     # factor solve carries O(1) relative error at this
@@ -569,4 +629,4 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
         kp_dev = csr_from_scipy(ksp.tocsr(), dtype=dtype)
     return CPPrecond(factor=factor, kp=kp_dev, n=int(n), m=int(m),
                      options=options, factor_nitref=int(factor_nitref),
-                     nperturbed=nperturbed)
+                     nperturbed=nperturbed, factor_exact=bool(factor_exact))

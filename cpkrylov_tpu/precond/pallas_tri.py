@@ -178,7 +178,11 @@ def _fused_tri_kernel(inv_ref, w_ref, b_ref, x_ref, carry_ref, *,
     def _init():
         carry_ref[:, :] = jnp.zeros((r, 128), jnp.float32)
 
-    bt = b_ref[:, :].T                             # (p, K)
+    # b arrives lane-major (p, K) — natural-order (nb, p) blocks tile-pad
+    # their 16-lane minor dim up to 128 in HBM (an ~8x hidden traffic and
+    # footprint blow-up measured in round 5) and needed an in-kernel
+    # transpose; the caller now reshapes+transposes in XLA (fused, packed).
+    bt = b_ref[:, :]                               # (p, K)
     inv = inv_ref[:, :, :]
     w = w_ref[:, :, :]
 
@@ -281,7 +285,7 @@ def _fused_tri_kernel(inv_ref, w_ref, b_ref, x_ref, carry_ref, *,
     for k in range(1, r):
         x = x - w[:, k, :] * jnp.broadcast_to(s_prev[k:k + 1, :], (p, K))
 
-    x_ref[:, :] = x.T                              # back to natural (K, p)
+    x_ref[:, :] = x                                # lane-major (p, K)
     carry_ref[:, 0] = s[:, K - 1]
 
 
@@ -320,12 +324,18 @@ def build_pallas_tri(T, panel: int = 16, dtype=np.float32,
 
 def pallas_tri_solve(tf: PallasTriFactor, b: jax.Array,
                      interpret: bool = False) -> jax.Array:
-    """Solve T x = b with the fused kernel (natural-order vector I/O)."""
+    """Solve T x = b with the fused kernel (natural-order vector I/O).
+
+    The kernel-facing vector layout is lane-major (p, nb): a natural-order
+    (nb, p) array tile-pads p up to 128 lanes in HBM (8x traffic at p=16,
+    16x at p=8 — measured round 5), while (p, nb) packs exactly.  The
+    reshape+transpose pairs here fuse into single packed XLA passes."""
     p, r, K = tf.panel, tf.r, tf.chunk
     nb_pad = tf.inv_t.shape[2]
     n_pad = nb_pad * p
     b32 = b.astype(jnp.float32)
-    b2 = jnp.zeros(n_pad, jnp.float32).at[: tf.n].set(b32).reshape(nb_pad, p)
+    bt = (jnp.zeros(n_pad, jnp.float32).at[: tf.n].set(b32)
+          .reshape(nb_pad, p).T)
     kernel = functools.partial(_fused_tri_kernel, p=p, r=r, K=K)
     x = pl.pallas_call(
         kernel,
@@ -335,15 +345,15 @@ def pallas_tri_solve(tf: PallasTriFactor, b: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((p, r, K), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, K), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((K, p), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((p, K), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb_pad, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((p, nb_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((r, 128), jnp.float32)],
         interpret=interpret,
-    )(tf.inv_t, tf.w_t, b2)
-    return x.reshape(-1)[: tf.n].astype(b.dtype)
+    )(tf.inv_t, tf.w_t, bt)
+    return x.T.reshape(-1)[: tf.n].astype(b.dtype)
 
 
 def pallas_tri_solve_xla(tf: PallasTriFactor, b: jax.Array) -> jax.Array:

@@ -406,6 +406,10 @@ def build_reduced_scan_tri(T, panel: int = 128, r: int | None = None,
 def tri_solve(tf, b: jax.Array) -> jax.Array:
     """Dispatch on the prepared factor kind (static under jit: the factor
     class is part of the pytree structure)."""
+    if hasattr(tf, "a2"):          # BidiagTriFactor (local import: no cycle)
+        from .pallas_bidiag import bidiag_tri_solve
+
+        return bidiag_tri_solve(tf, b)
     if hasattr(tf, "inv_t"):       # PallasTriFactor (local import: no cycle)
         from .pallas_tri import pallas_tri_solve
 

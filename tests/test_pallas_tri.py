@@ -64,6 +64,22 @@ def test_pallas_kernel_interpret_mode():
     assert np.linalg.norm(x - x64) / np.linalg.norm(x64) < 1e-5
 
 
+def test_pallas_kernel_interpret_mode_p8():
+    """p=8 (the minimum clean-sublane panel, round-5 default for narrow
+    bands) through the lane-major kernel, multi-chunk so the carry path
+    runs."""
+    n = 2048
+    T = _banded_lower(n, reach=1, seed=5)
+    tf = build_pallas_tri(T, panel=8, chunk=32)
+    assert tf is not None and tf.panel == 8
+    rng = np.random.default_rng(6)
+    b = rng.standard_normal(n).astype(np.float32)
+    x64 = spla.spsolve_triangular(T.tocsr(), b.astype(np.float64),
+                                  lower=True)
+    x = np.asarray(pallas_tri_solve(tf, jnp.asarray(b), interpret=True))
+    assert np.linalg.norm(x - x64) / np.linalg.norm(x64) < 1e-5
+
+
 def test_affine_lane_scan_interpret_matches_reference():
     rng = np.random.default_rng(4)
     r, nb = 8, 256
@@ -95,3 +111,44 @@ def test_affine_lane_scan_interpret_matches_reference():
         interpret=True,
     )(mr, cr)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_bidiag_kernel_interpret_matches_scipy():
+    """Flat-layout bidiagonal kernel (round 5): multi-chunk + multi-row
+    stitch path vs an f64 scipy triangular solve."""
+    import scipy.sparse as sp
+
+    from cpkrylov_tpu.precond.pallas_bidiag import (bidiag_tri_solve,
+                                                    build_bidiag_tri)
+
+    rng = np.random.default_rng(11)
+    n = 40_000
+    d = 1.0 + rng.random(n)
+    lo = rng.standard_normal(n - 1) * 0.4
+    T = sp.diags([d, lo], [0, -1], format="csr")
+    tf = build_bidiag_tri(T, chunk=1024)
+    assert tf is not None
+    b = rng.standard_normal(n).astype(np.float32)
+    x64 = spla.spsolve_triangular(T.tocsr(), b.astype(np.float64),
+                                  lower=True)
+    x = np.asarray(bidiag_tri_solve(tf, jnp.asarray(b), interpret=True))
+    assert np.linalg.norm(x - x64) / np.linalg.norm(x64) < 1e-5
+
+
+def test_bidiag_build_gates():
+    """The bidiag build must reject non-bidiagonal, zero-diagonal, and
+    too-small inputs (callers fall through to the panel forms)."""
+    import scipy.sparse as sp
+
+    from cpkrylov_tpu.precond.pallas_bidiag import build_bidiag_tri
+
+    rng = np.random.default_rng(1)
+    n = 40_000
+    d = 1.0 + rng.random(n)
+    assert build_bidiag_tri(
+        sp.diags([d, rng.standard_normal(n - 2)], [0, -2]), chunk=1024) \
+        is None                                   # reach 2
+    assert build_bidiag_tri(sp.diags([d[:100]], [0]), chunk=1024) is None
+    d0 = d.copy()
+    d0[7] = 0.0
+    assert build_bidiag_tri(sp.diags([d0], [0]), chunk=1024) is None
