@@ -81,9 +81,13 @@ class FactorApply:
         w = self.pin.apply(z)
         w = tri_solve(self.tf1, w)
         w = self._apply_dinv(w)
-        w = jnp.flip(w)
-        w = tri_solve(self.tf2, w)
-        w = jnp.flip(w)
+        if getattr(self.tf2, "reverse", False):
+            # reversed-direction kernel consumes natural order directly
+            w = tri_solve(self.tf2, w)
+        else:
+            w = jnp.flip(w)
+            w = tri_solve(self.tf2, w)
+            w = jnp.flip(w)
         return self.pout.apply_inv(w)
 
 
@@ -317,6 +321,26 @@ def _build_tri_upper(U, panel: int, dtype, max_scan_bytes: int = 2 << 30):
 
     U = sp.csr_matrix(U)
     n = U.shape[0]
+    # Upper-bidiagonal factor on the TPU f32 path: the reversed-direction
+    # flat kernel solves it directly in natural order — the J U J
+    # reversal trick below needs a runtime jnp.flip PAIR per solve
+    # (~0.03 ms of unmodeled vector passes per preconditioner
+    # application at production sizes, round 5).
+    try:
+        import jax as _jax
+
+        if (_jax.default_backend() == "tpu"
+                and np.dtype(dtype) == np.float32 and max_scan_bytes > 0):
+            coo = U.tocoo()
+            reach = int((coo.col - coo.row).max()) if coo.nnz else 0
+            if reach <= 1:
+                from .pallas_bidiag import build_bidiag_tri_upper
+
+                tf = build_bidiag_tri_upper(U, dtype=dtype)
+                if tf is not None:
+                    return tf
+    except Exception:  # pragma: no cover - backend probing must not fail
+        pass
     rev = np.arange(n - 1, -1, -1)
     return _build_tri(U[rev][:, rev].tocsr(), panel, dtype,
                       max_scan_bytes=max_scan_bytes)

@@ -30,7 +30,7 @@ def _banded_lower(n, reach, seed=0):
 
 
 def test_pallas_packing_matches_reduced_scan():
-    n = 4096
+    n = 2048
     T = _banded_lower(n, reach=5)
     tf_p = build_pallas_tri(T, panel=16, chunk=64)
     tf_r = build_reduced_scan_tri(T, panel=16, dtype=np.float32)
@@ -82,7 +82,7 @@ def test_pallas_kernel_interpret_mode_p8():
 
 def test_affine_lane_scan_interpret_matches_reference():
     rng = np.random.default_rng(4)
-    r, nb = 8, 256
+    r, nb = 8, 128
     mr = jnp.asarray(rng.standard_normal((r, r, nb)) * 0.1, jnp.float32)
     cr = jnp.asarray(rng.standard_normal((r, nb)), jnp.float32)
     ref = np.asarray(affine_lane_scan_reference(mr, cr))
@@ -152,3 +152,25 @@ def test_bidiag_build_gates():
     d0 = d.copy()
     d0[7] = 0.0
     assert build_bidiag_tri(sp.diags([d0], [0]), chunk=1024) is None
+
+
+def test_bidiag_upper_kernel_interpret_matches_scipy():
+    """Reversed-direction bidiagonal kernel (upper solves without runtime
+    flips): multi-chunk + multi-segment + row-stitch path vs scipy."""
+    import scipy.sparse as sp
+
+    from cpkrylov_tpu.precond.pallas_bidiag import (bidiag_tri_solve,
+                                                    build_bidiag_tri_upper)
+
+    rng = np.random.default_rng(12)
+    n = 40_000
+    d = 1.0 + rng.random(n)
+    up = rng.standard_normal(n - 1) * 0.4
+    U = sp.diags([d, up], [0, 1], format="csr")
+    tf = build_bidiag_tri_upper(U, chunk=1024)
+    assert tf is not None and tf.reverse
+    b = rng.standard_normal(n).astype(np.float32)
+    x64 = spla.spsolve_triangular(U.tocsr(), b.astype(np.float64),
+                                  lower=False)
+    x = np.asarray(bidiag_tri_solve(tf, jnp.asarray(b), interpret=True))
+    assert np.linalg.norm(x - x64) / np.linalg.norm(x64) < 1e-5

@@ -216,7 +216,9 @@ def test_schur_dist_solve_iteration_parity():
     mesh = Mesh(np.array(jax.devices()[:8]), ("rows",))
     opts = SolverOptions(atol=1e-6, rtol=1e-6, itmax=300, restart=40)
     Ms = plan_schur_precond(s_.G, s_.B, s_.C, 8, panel=16)
-    for method in ("cpminres", "cpcg", "cpgmres"):
+    # cpcg coverage comes from the slow-marked family sweep; two methods
+    # keep this default-run test under ~17 s on the 2-core box
+    for method in ("cpminres", "cpgmres"):
         res, x1, x2 = dist_solve(mesh, method, s_.b, s_.A, s_.B, s_.C,
                                  s_.G, opts=opts, M=Ms)
         out = solve(method, s_.b, s_.A, s_.B, s_.C, s_.G, opts=opts,

@@ -68,7 +68,7 @@ def test_gmres_restart_sweep():
     # Smaller restarts must still converge (more total iterations).
     s = random_sqd_system(60, 20, seed=8, nonsymmetric=True)
     iters = {}
-    for restart in (5, 20, 60):
+    for restart in (5, 60):
         out = solve("cpgmres", s.b, s.A, s.B, s.C, s.G, panel=32,
                     opts=SolverOptions(restart=restart, itmax=400))
         assert out.solved, f"restart={restart}"
@@ -78,7 +78,7 @@ def test_gmres_restart_sweep():
 
 def test_dqgmres_memory_sweep():
     s = random_sqd_system(60, 20, seed=8, nonsymmetric=True)
-    for mem in (2, 10, 60):
+    for mem in (2, 60):
         out = solve("cpdqgmres", s.b, s.A, s.B, s.C, s.G, panel=32,
                     opts=SolverOptions(mem=mem, itmax=400))
         assert out.solved, f"mem={mem}"
