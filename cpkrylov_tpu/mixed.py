@@ -91,7 +91,7 @@ def solve_mixed(method, b, A, B, C, G, *,
                 precond_opts: PrecondOptions | None = None,
                 inner_rtol: float = 1.0e-4,
                 inner_stagwin: int = 30,
-                max_outer: int = 10,
+                max_outer: int = 40,
                 lean_inner: bool = True,
                 backend: str = "auto", ordering="auto",
                 panel: int = 256, spmv_format: str = "auto",
@@ -345,7 +345,7 @@ class DeviceMixedSolver:
 
 def prepare_mixed_device(method, b, A, B, C, M32, opts, *,
                          inner_rtol: float = 1.0e-4,
-                         inner_stagwin: int = 30, max_outer: int = 10,
+                         inner_stagwin: int = 30, max_outer: int = 40,
                          spmv_format: str = "auto", tile_rows: int = 2048,
                          ) -> DeviceMixedSolver | None:
     """Pack operands for the device-resident outer loop; None when any

@@ -48,7 +48,7 @@ def dist_solve_mixed(mesh, method, b, A, B, C, G, *,
                      precond_opts: PrecondOptions | None = None,
                      inner_rtol: float = 1.0e-4,
                      inner_stagwin: int = 30,
-                     max_outer: int = 10,
+                     max_outer: int = 40,
                      lean_inner: bool = True,
                      panel: int = 256, halo: bool = True,
                      M=None) -> MixedSolveOutput:

@@ -605,28 +605,25 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
                              or (want_df == "auto" and rel > 1e-2))):
                     from .df_factor import build_df_factor_apply
 
-                    def _dev_probe(f):
-                        yh_ = np.asarray(f.solve(
-                            jnp.asarray(z, dtype=jnp.float32)), np.float64)
-                        return (np.linalg.norm(ksp @ yh_ - z)
-                                / max(np.linalg.norm(z), 1e-300))
-
-                    # Comparative gate: the df64 apply wins decisively when
-                    # element growth broke the f32-stored factor (probe
-                    # 8e-1 -> 3e-8 on cvxqp2_1000), but on systems whose
-                    # cond(K_P) itself approaches 2^48 it cannot beat the
-                    # plain factor + nitref (cvxqp1_m: plain-path solves in
-                    # 63 mixed inner iters, df64 took 139).  Probe both
-                    # through the DEVICE pipeline and keep the better.
+                    # Gate on the RAW f32 probe (rel > 1e-2, i.e. the
+                    # stored factor is unusable as-is).  Measured round-5
+                    # tradeoff: the df64 apply flips whole sweep rows from
+                    # failed to solved (cvxqp2/cvxqp3 families at mu=1e-4)
+                    # at the cost of ~1 extra outer refinement pass on the
+                    # mildest coarse case (cvxqp1_m: 94 -> 139 mixed inner
+                    # iterations, both solve).  Finer probes cannot rank
+                    # the two forms: with f64-accumulated refinement BOTH
+                    # converge to ~1e-10 (the f32-residual cancellation,
+                    # not the factor, is what breaks the plain path), and
+                    # raw f32 outputs floor identically.
                     df = build_df_factor_apply(factor, fac, n + m, nref=1)
-                    rel_plain = _dev_probe(factor)
-                    rel_df = _dev_probe(df)
-                    if want_df is True or rel_df < 0.3 * rel_plain:
-                        factor = df
-                        factor_nitref = 0
-                        rel = rel_df
-                    else:
-                        rel = rel_plain
+                    factor = df
+                    factor_nitref = 0
+                    z = rng.standard_normal(n + m)
+                    yh = np.asarray(factor.solve(
+                        jnp.asarray(z, dtype=jnp.float32)), np.float64)
+                    rel = (np.linalg.norm(ksp @ yh - z)
+                           / max(np.linalg.norm(z), 1e-300))
                 if rel > 1e-2:
                     # cond(K_P) * eps_dtype >= O(1): even a backward-stable
                     # factor solve carries O(1) relative error at this
