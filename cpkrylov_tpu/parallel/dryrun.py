@@ -124,6 +124,35 @@ def run_dryrun(n_devices: int) -> None:
         f"(nouter={mixed_out.nouter}, hist={mixed_out.resid_history})")
     assert mixed_out.resid_history[-1] <= 1e-6 * mixed_out.resid_history[0]
 
+    # --- fully-sharded reference-parity preconditioner (round 5) ---------
+    # The examples' canonical configuration (residual_update + nitref=1 +
+    # force_itref, cpk_exprog1.m:87-92) through the Schur-sharded factor
+    # with row-partitioned K_P blocks: GHN caches live sharded and no O(N)
+    # all-gather runs inside the loop (benchmarks/SHARDED_PRECOND_HLO.json).
+    from ..config import PrecondOptions
+    from .schur import plan_schur_precond
+
+    popts_ref = PrecondOptions(residual_update=True, nitref=1,
+                               force_itref=True)
+    sysb = banded_saddle_system(n, m, bandwidth=3, with_oracle=False,
+                                b_mode="slope", g_mode="banded")
+    Ms = plan_schur_precond(sysb.G, sysb.B, sysb.C, n_devices,
+                            options=popts_ref, panel=16, dtype=dtype)
+    assert Ms.factor.has_shard_plan, "schur shard plan missing"
+    sref_ghn = solve("cpminres", sysb.b, sysb.A, sysb.B, sysb.C, sysb.G,
+                     opts=opts, precond_opts=popts_ref, panel=16,
+                     dtype=dtype)
+    res_g, x1_g, _ = dist_solve(mesh, "cpminres", sysb.b, sysb.A, sysb.B,
+                                sysb.C, sysb.G, opts=opts, M=Ms,
+                                dtype=dtype)
+    assert bool(res_g.solved), "sharded GHN+itref dist_solve not converged"
+    assert abs(int(res_g.niters) - sref_ghn.niters) <= 1, (
+        f"sharded GHN+itref iteration drift: {int(res_g.niters)} vs "
+        f"serial {sref_ghn.niters}")
+    rel_g = (np.linalg.norm(np.asarray(x1_g) - np.asarray(sref_ghn.x1))
+             / max(np.linalg.norm(np.asarray(sref_ghn.x1)), 1e-300))
+    assert rel_g < 1e-4, f"sharded GHN+itref solution drift: {rel_g}"
+
     # --- generic family path (shifted RHS): CPMINRES + CPGMRES -----------
     for method, extra in (("cpminres", {}), ("cpgmres", {"restart": 50})):
         mopts = SolverOptions(atol=0.0, rtol=rtol, itmax=500, **extra)

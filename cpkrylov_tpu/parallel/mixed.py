@@ -110,8 +110,8 @@ def dist_solve_mixed(mesh, method, b, A, B, C, G, *,
         if solved:
             break
         # Adaptive per-pass target, quantized to a power of ten (bounded
-        # jit-cache growth), gated on a build-probe-exact factor — see
-        # mixed.solve_mixed (VERDICT r4 item 6).
+        # jit-cache growth), floored at ~3x the measured apply quality —
+        # see mixed.solve_mixed (VERDICT r4 item 6).
         if getattr(M32, "factor_exact", False) and stop > 0:
             t_pass = min(inner_rtol, max(0.3 * stop / rnorm, 1e-7))
             t_pass = 10.0 ** np.floor(np.log10(max(t_pass, 1e-7)))

@@ -100,7 +100,7 @@ class CPState(NamedTuple):
 
 @partial(_register, data_fields=("factor", "kp"),
          meta_fields=("n", "m", "options", "factor_nitref", "nperturbed",
-                      "factor_exact"))
+                      "factor_exact", "probe_rel"))
 @dataclasses.dataclass(frozen=True)
 class CPPrecond:
     """Constraint preconditioner: factors + K_P + behavioural options."""
@@ -130,6 +130,12 @@ class CPPrecond:
     # stagnation window (measured round 5 on cvxqp1_m).  Defaults False:
     # only a construction path that actually probes may claim it.
     factor_exact: bool = False
+    # The build probe's measured relative residual for one application
+    # (after the df64 swap when taken).  Mixed drivers derive each outer
+    # pass's inner-target FLOOR from it: a pass cannot usefully aim below
+    # ~3x the apply quality (round 5; 1.0 = unknown/no probe, which the
+    # floor formula maps back to the classic fixed inner_rtol).
+    probe_rel: float = 1.0
 
     def _direct_solve(self, z: jax.Array) -> jax.Array:
         y = self.factor.solve(z)
@@ -523,6 +529,7 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
     """
     options = options or PrecondOptions()
     factor_exact = False
+    probe_rel = 1.0
     n = G.shape[0]
     m = C.shape[0]
     ksp = assemble_kp(G, B, C)
@@ -591,6 +598,7 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
                           else 40 * np.finfo(np.dtype(dtype)).eps)
                 factor_nitref = 0 if rel <= thresh else 1
                 factor_exact = rel <= thresh
+                probe_rel = float(rel)
                 # Coarsely-factorable K_P at f32 (element growth makes the
                 # f32-STORED factor unusable — probe residual near O(1),
                 # and K_P-level f32 refinement is non-contractive there):
@@ -624,6 +632,7 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
                         jnp.asarray(z, dtype=jnp.float32)), np.float64)
                     rel = (np.linalg.norm(ksp @ yh - z)
                            / max(np.linalg.norm(z), 1e-300))
+                    probe_rel = float(rel)
                 if rel > 1e-2:
                     # cond(K_P) * eps_dtype >= O(1): even a backward-stable
                     # factor solve carries O(1) relative error at this
@@ -650,4 +659,5 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
         kp_dev = csr_from_scipy(ksp.tocsr(), dtype=dtype)
     return CPPrecond(factor=factor, kp=kp_dev, n=int(n), m=int(m),
                      options=options, factor_nitref=int(factor_nitref),
-                     nperturbed=nperturbed, factor_exact=bool(factor_exact))
+                     nperturbed=nperturbed, factor_exact=bool(factor_exact),
+                     probe_rel=float(probe_rel))
