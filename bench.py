@@ -97,12 +97,12 @@ def _bytes_per_iter(M, a_mat, c_mat, work, itemsize: int) -> float:
     """Composite per-iteration HBM traffic of the CPMINRES hot loop."""
     n, m = M.n, M.m
     N = n + m
+    # 2 MXU-matmul permutes at one operand read + one result write each,
+    # plus the dinv read unless it was folded into tf2 at build
+    glue_passes = 4.0 if getattr(M.factor, "dinv_folded", False) else 5.0
     per_solve = (_factor_traffic(M.factor.tf1, itemsize)
                  + _factor_traffic(M.factor.tf2, itemsize)
-                 # 1 dinv read (its multiply fuses with the tf1 fixup /
-                 # tf2 input materialization) + 2 MXU-matmul permutes at
-                 # one operand read + one result write each
-                 + 5.0 * itemsize * N)
+                 + glue_passes * itemsize * N)
     kp_bytes = _mat_bytes(M.kp, N, itemsize)
     vec = float(itemsize) * N
     return (_mat_bytes(a_mat, n, itemsize) + _mat_bytes(c_mat, m, itemsize)

@@ -42,7 +42,7 @@ def _register(cls, data_fields, meta_fields):
 
 @partial(_register,
          data_fields=("pin", "tf1", "dinv", "tf2", "pout", "dinv_sub"),
-         meta_fields=())
+         meta_fields=("dinv_folded",))
 @dataclasses.dataclass(frozen=True)
 class FactorApply:
     """Device-side direct solve  y = K_P^{-1} z  from host factors.
@@ -68,8 +68,14 @@ class FactorApply:
     tf2: BlockTriFactor | ScanTriFactor | ReducedScanTriFactor
     pout: object          # PermuteOp: y natural = pout.apply_inv(w)
     dinv_sub: jax.Array | None = None   # (N,) inverse subdiagonal, or None
+    # True when D^-1 was folded into tf2 at build (tf2 solves D U): the
+    # explicit scale pass is skipped — XLA cannot fold a runtime ones
+    # array, so the skip must be structural.
+    dinv_folded: bool = False
 
     def _apply_dinv(self, w: jax.Array) -> jax.Array:
+        if self.dinv_folded:
+            return w
         y = w * self.dinv.astype(w.dtype)
         if self.dinv_sub is not None:
             s = self.dinv_sub.astype(w.dtype)
@@ -371,7 +377,8 @@ def _block_dinv(d: np.ndarray, e: np.ndarray | None):
 
 def build_factor_apply(fac, N: int, panel: int, dtype,
                        scan_ok: bool = True, base_order=None,
-                       permute: str = "auto") -> FactorApply:
+                       permute: str = "auto",
+                       fold_dinv: bool = True) -> FactorApply:
     """Pack a host factorization (HostLDL or HostLU) into a device
     ``FactorApply`` of blocked triangular solves.  ``scan_ok=False`` forces
     the sequential BlockTriFactor form (used when a caller must stack
@@ -412,10 +419,25 @@ def build_factor_apply(fac, N: int, panel: int, dtype,
     if isinstance(fac, ldl_host.HostLDL):
         L1 = (fac.L + sp.identity(N, format="csc")).tocsr()
         tf1 = _build_tri(L1, panel=panel, dtype=dtype, max_scan_bytes=msb)
-        tf2 = _build_tri_upper((fac.L + sp.identity(N)).T.tocsr(),
-                               panel=panel, dtype=dtype,
-                               max_scan_bytes=msb)
         main, sub = _block_dinv(fac.d, fac.e)
+        U = (fac.L + sp.identity(N)).T.tocsr()
+        tf2 = None
+        folded = False
+        if sub is None and fold_dinv:
+            # Fold D^-1 into the upper solve: U w = D^-1 v is (D U) w = v,
+            # and D U keeps the bidiagonal structure (diag d_i, superdiag
+            # d_i L'_{i,i+1}) — one fewer full vector pass + no dinv read
+            # per application when the reversed-direction kernel takes it.
+            DU = (sp.diags(fac.d) @ U).tocsr()
+            tf2 = _build_tri_upper(DU, panel=panel, dtype=dtype,
+                                   max_scan_bytes=msb)
+            if getattr(tf2, "reverse", False):
+                folded = True
+            else:
+                tf2 = None            # fold only pays on the flip-free path
+        if tf2 is None:
+            tf2 = _build_tri_upper(U, panel=panel, dtype=dtype,
+                                   max_scan_bytes=msb)
         p = plan(fac.perm)
         return FactorApply(
             pin=p,
@@ -424,6 +446,7 @@ def build_factor_apply(fac, N: int, panel: int, dtype,
             tf2=tf2,
             pout=p,
             dinv_sub=None if sub is None else jnp.asarray(sub.astype(dtype)),
+            dinv_folded=folded,
         )
     # HostLU from splu
     tf1 = _build_tri(fac.L.tocsr(), panel, dtype, max_scan_bytes=msb)
@@ -624,7 +647,15 @@ def make_preconditioner(G, B, C, *, options: PrecondOptions | None = None,
                     # converge to ~1e-10 (the f32-residual cancellation,
                     # not the factor, is what breaks the plain path), and
                     # raw f32 outputs floor identically.
-                    df = build_df_factor_apply(factor, fac, n + m, nref=1)
+                    base_factor = factor
+                    if getattr(factor, "dinv_folded", False):
+                        # the df64 wrapper models tf2 as plain U with an
+                        # explicit df64 D^-1 — unfold before wrapping
+                        base_factor = build_factor_apply(
+                            fac, n + m, panel, dtype,
+                            base_order=base_order, fold_dinv=False)
+                    df = build_df_factor_apply(base_factor, fac, n + m,
+                                               nref=1)
                     factor = df
                     factor_nitref = 0
                     z = rng.standard_normal(n + m)
