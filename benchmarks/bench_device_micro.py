@@ -70,6 +70,13 @@ def timeit(label, step, x0, op, reps, record, bytes_per_call=None):
     if bytes_per_call:
         entry["gbps"] = round(bytes_per_call / dt / 1e9, 2)
         entry["bytes_per_call"] = int(bytes_per_call)
+        if entry["gbps"] > 800:
+            entry["note"] = (
+                "apparent rate exceeds HBM peak: the chain repeats one op "
+                "with loop-invariant operands small enough for XLA's VMEM "
+                "assignment (v5e: 128 MB), so this measures VMEM-resident "
+                "throughput, not HBM streaming; a cold/large-size run "
+                "streams at ~460-590 GB/s (exp_vmem_res probe, round 5)")
     record[label] = entry
     print(f"  {label:<38s} {dt*1e3:9.3f} ms/call"
           + (f"  {entry['gbps']:8.1f} GB/s" if bytes_per_call else ""),
@@ -80,7 +87,7 @@ def timeit(label, step, x0, op, reps, record, bytes_per_call=None):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000)
-    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=60)
     ap.add_argument("--skip-pgell", action="store_true",
                     help="skip the PGELL Pallas timing (slow upload)")
     args = ap.parse_args()

@@ -185,6 +185,13 @@ def build_df_factor_apply(factor, fac, N: int, nref: int = 2
 
     from .cp import _block_dinv
 
+    if getattr(factor, "dinv_folded", False):
+        # a folded factor's tf2 solves D*L', not L' — the df64 residual
+        # matrices below would model the wrong system (make_preconditioner
+        # rebuilds an unfolded factor before wrapping)
+        raise ValueError("build_df_factor_apply needs an UNFOLDED "
+                         "FactorApply (dinv_folded=False)")
+
     L1 = (fac.L + sp.identity(N, format="csc")).tocsr()
     rev = np.arange(N - 1, -1, -1)
     U = L1.T.tocsr()
