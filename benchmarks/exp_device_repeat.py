@@ -1,5 +1,13 @@
 """Device-only per-solve time via IN-PROGRAM repetition.
 
+CAVEAT (round-5 finding, after this script's first use): index-only
+perturbation (b + i * 1e-30) leaves chain iterations data-independent, so
+the scheduler can overlap adjacent solves and the slope can exceed the
+serial rate (even HBM peak for small working sets).  bench.py's
+overhead_decomposition now uses STRICTLY SERIAL chains (rhs depends on
+the previous output); this script is kept for the pipelined-throughput
+view, which is also what the dispatch-slope steady state measures.
+
 The pipelined-dispatch slope (bench.py steady state) includes the
 per-dispatch host cost of the axon tunnel (arg serialization + RPC),
 which round-5 capped-iteration runs exposed as ~13 ms/dispatch — an

@@ -29,7 +29,7 @@ def timed(label, fn, record):
     return out
 
 
-def time_device(label, step, x0, op, record, reps=20):
+def time_device(label, step, x0, op, record, reps=60):
     """Time a (y, op)->y device op with a jitted dependence chain of `reps`
     calls.  The operand pytree is a jit ARGUMENT — closing over it would
     bake the arrays into the HLO as constants and overflow the axon
@@ -123,7 +123,7 @@ def main() -> None:
         return y
 
     t_ap = time_device("M_apply(full, nitref=1 forced)", apply_step, x_N,
-                       M, devrec, reps=10)
+                       M, devrec, reps=30)
     # Reduction cost: one coupled dot (the recurrences do ~4-6 of these
     # per iteration) — broadcast back so the chain stays y->y.
     t_dot = time_device(
