@@ -174,3 +174,27 @@ def test_bidiag_upper_kernel_interpret_matches_scipy():
                                   lower=False)
     x = np.asarray(bidiag_tri_solve(tf, jnp.asarray(b), interpret=True))
     assert np.linalg.norm(x - x64) / np.linalg.norm(x64) < 1e-5
+
+
+def test_bidiag_upper_dinv_fold_algebra():
+    """The D^-1 fold (tf2 solves D*U instead of U after the scale pass,
+    cp.py build_factor_apply): (D U)^-1 v must equal U^-1 (D^-1 v) — the
+    TPU build relies on this identity to drop the explicit scale pass."""
+    import scipy.sparse as sp
+
+    from cpkrylov_tpu.precond.pallas_bidiag import (bidiag_tri_solve,
+                                                    build_bidiag_tri_upper)
+
+    rng = np.random.default_rng(21)
+    n = 40_000
+    d = np.where(rng.random(n) < 0.5, -1.0, 1.0) * (0.5 + rng.random(n))
+    up = rng.standard_normal(n - 1) * 0.4
+    U = sp.diags([np.ones(n), up], [0, 1], format="csr")   # unit diag L'
+    DU = (sp.diags(d) @ U).tocsr()
+    tf = build_bidiag_tri_upper(DU, chunk=1024)
+    assert tf is not None and tf.reverse
+    b = rng.standard_normal(n).astype(np.float32)
+    x = np.asarray(bidiag_tri_solve(tf, jnp.asarray(b), interpret=True),
+                   np.float64)
+    xref = spla.spsolve_triangular(U.tocsr(), (b / d), lower=False)
+    assert np.linalg.norm(x - xref) / np.linalg.norm(xref) < 1e-5
